@@ -1,0 +1,4 @@
+from qpnet_tpu.models.qpnet import (  # noqa: F401
+    QPNet, init_params, forward, count_params,
+)
+from qpnet_tpu.models.generate import batch_fast_generate  # noqa: F401

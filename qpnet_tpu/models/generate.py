@@ -1,0 +1,244 @@
+"""Autoregressive fast-WaveNet generation as a single `lax.scan`.
+
+The reference generates one sample per Python iteration with per-layer
+buffer concatenation and `cuda.empty_cache()` calls (reference
+qpnet.py:314-559) — tens of thousands of kernel launches per second of audio.
+Here the entire loop is one compiled scan:
+
+* per-layer ring buffers live in the scan carry; reads/writes are
+  O(channels) dynamic-slice ops at slot `t mod size` — no rolling copies;
+* the per-step layer stack is two fused matmuls per residual block
+  ([current; past] @ W_in and gate @ [W_skip | W_res]);
+* buffers are primed by one teacher-forced pass over the padded history
+  (mirroring reference qpnet.py:354-440: pad value = n_quantize//2, the
+  *upsampled* aux replicate-padded at sample level, dilation factors 1.0);
+* finished utterances keep generating into padding instead of the
+  reference's dynamic batch shrink (qpnet.py:527-557) — static shapes win
+  under XLA; callers slice `samples[i, :n_samples[i]]`.
+
+The per-sample look-back of adaptive layer `l` is r = round(d(t) * dil_l),
+identical to reference `_generate_dilated_index` (qpnet.py:613-624).
+
+The maximum dilation factor is *bucketed* to a static value so buffer sizes
+compile once per bucket; a larger bucket only enlarges buffers, never changes
+results.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qpnet_tpu.config import ModelConfig
+from qpnet_tpu.models.qpnet import (
+    Params, _gate, _matmul, adaptive_block, fixed_block, shift_time,
+    upsample_aux,
+)
+
+MAXD_BUCKETS = (1, 2, 4, 8, 16, 32, 48, 64, 96, 128)
+
+
+def bucket_maxd(maxd: float) -> int:
+    for b in MAXD_BUCKETS:
+        if maxd <= b:
+            return b
+    return int(np.ceil(maxd))
+
+
+def _fused_weights(params: Params, dtype):
+    """Pre-concatenate per-layer weights for the one-matmul-per-block step."""
+    def fuse(p):
+        return {
+            "W_in": jnp.concatenate([p["W_cur"], p["W_prev"]], axis=0).astype(dtype),
+            "W_aux": p["W_aux"].astype(dtype),
+            "b_gate": p["b_gate"].astype(jnp.float32),
+            "W_out": jnp.concatenate([p["W_skip"], p["W_res"]], axis=1).astype(dtype),
+            "b_skip": p["b_skip"].astype(jnp.float32),
+            "b_res": p["b_res"].astype(jnp.float32),
+        }
+    return ([fuse(p) for p in params["fixed"]],
+            [fuse(p) for p in params["adaptive"]])
+
+
+def _prime_activations(params: Params, cfg: ModelConfig,
+                       x_ctx: jnp.ndarray, h_up_ctx: jnp.ndarray,
+                       d_ctx: jnp.ndarray, dtype):
+    """Teacher-forced pass over the history context; returns the list of
+    layer-*input* activations (causal output first), shape (B, Tc, R) each."""
+    R = cfg.n_resch
+    o = (jnp.take(params["embed_cur"], x_ctx, axis=0)
+         + shift_time(jnp.take(params["embed_prev"], x_ctx, axis=0), 1)
+         + params["b_causal"]).astype(jnp.float32)
+    acts = [o]
+    for p, dil in zip(params["fixed"], cfg.dilationsF):
+        o, _ = fixed_block(p, o, h_up_ctx, dil, R, dtype)
+        acts.append(o)
+    for p, dil in zip(params["adaptive"], cfg.dilationsA):
+        r = jnp.round(d_ctx * dil).astype(jnp.int32)
+        o, _ = adaptive_block(p, o, h_up_ctx, r, R, dtype)
+        acts.append(o)
+    return acts  # len = 1 + nF + nA; acts[i] is input of layer i
+
+
+def _ring_from_tail(act: jnp.ndarray, size: int, t0: int) -> jnp.ndarray:
+    """Place act[:, t0-size : t0] into ring slots (tau mod size)."""
+    tail = act[:, t0 - size: t0]  # (B, size, R), tail[:, j] is time t0-size+j
+    return jnp.roll(tail, t0, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "maxd", "mode", "compute_dtype"))
+def _generate_scan(params: Params, cfg: ModelConfig,
+                   x_seed: jnp.ndarray, h: jnp.ndarray, d: jnp.ndarray,
+                   key: jax.Array, n_steps: int, maxd: int,
+                   mode: str = "sampling",
+                   compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Core compiled generation.
+
+    Args:
+      x_seed: (B, rf+1) int32 — mid-scale-padded seed history; the last
+              element is the seed sample (timeline position rf).
+      h: (B, F, A) frame-rate standardized aux (zero-padded across batch).
+         Upsampled on device; sample position rf+i reads h_up[:, i] — the
+         history context [0, rf) reads a replicate-pad of h_up[:, 0]
+         (reference qpnet.py:343-364 pads the upsampled aux with 'replicate').
+      d: (B, >= n_steps) float32 sample-rate dilation factors for the
+         generated region (position rf+i uses d[:, i]).
+    Returns:
+      (B, n_steps) int32 generated mu-law samples.
+    """
+    R, S = cfg.n_resch, cfg.n_skipch
+    dilsF, dilsA = cfg.dilationsF, cfg.dilationsA
+    rf = cfg.receptiveF + cfg.receptiveA * maxd + cfg.receptive_causal
+    B = x_seed.shape[0]
+    assert x_seed.shape[1] == rf + 1
+
+    h_up = upsample_aux(params, h, cfg.upsampling_factor)  # (B, F*up, A)
+
+    fixedW, adaptW = _fused_weights(params, compute_dtype)
+    embed_cur = params["embed_cur"].astype(jnp.float32)
+    embed_prev = params["embed_prev"].astype(jnp.float32)
+    b_causal = params["b_causal"].astype(jnp.float32)
+    W_post1 = params["W_post1"].astype(compute_dtype)
+    W_post2 = params["W_post2"].astype(compute_dtype)
+    b_post1, b_post2 = params["b_post1"], params["b_post2"]
+
+    # --- prime ring buffers over positions [0, rf-1] (excludes the seed;
+    # reference qpnet.py:367 primes on x[:, :-1])
+    h_up_ctx = jnp.broadcast_to(h_up[:, :1], (B, rf, h_up.shape[-1]))
+    d_ctx = jnp.ones((B, rf), jnp.float32)
+    acts = _prime_activations(
+        params, cfg, x_seed[:, :-1], h_up_ctx, d_ctx, compute_dtype)
+    sizesF = list(dilsF)
+    sizesA = [maxd * dil for dil in dilsA]
+    t0 = rf  # first step's "current" position
+    bufsF = [_ring_from_tail(acts[i], s, t0) for i, s in enumerate(sizesF)]
+    bufsA = [_ring_from_tail(acts[len(dilsF) + i], s, t0)
+             for i, s in enumerate(sizesA)]
+
+    def step(carry, inp):
+        (x_prev, x_cur, bufsF, bufsA, t) = carry
+        h_t, r_t, key_t = inp  # h_t: (B, A); r_t: (B, nA) int32
+        o = (jnp.take(embed_cur, x_cur, axis=0)
+             + jnp.take(embed_prev, x_prev, axis=0) + b_causal)
+        skip_sum = jnp.zeros((B, S), jnp.float32)
+        newF: List[jnp.ndarray] = []
+        for li, (p, dil) in enumerate(zip(fixedW, dilsF)):
+            buf, size = bufsF[li], sizesF[li]
+            slot = jax.lax.rem(t, size)
+            past = jax.lax.dynamic_slice_in_dim(buf, slot, 1, axis=1)[:, 0]
+            z = (_matmul(jnp.concatenate([o, past], axis=-1), p["W_in"], compute_dtype)
+                 + _matmul(h_t, p["W_aux"], compute_dtype) + p["b_gate"])
+            g = _gate(z, R)
+            out = _matmul(g, p["W_out"], compute_dtype)
+            skip_sum = skip_sum + out[:, :S] + p["b_skip"]
+            newF.append(jax.lax.dynamic_update_slice_in_dim(
+                buf, o[:, None, :].astype(buf.dtype), slot, axis=1))
+            o = o + out[:, S:] + p["b_res"]
+        newA: List[jnp.ndarray] = []
+        for li, (p, dil) in enumerate(zip(adaptW, dilsA)):
+            buf, size = bufsA[li], sizesA[li]
+            r = jnp.clip(r_t[:, li], 0, size)
+            read_slot = jax.lax.rem(t - r + size, size)  # (B,)
+            past = jnp.take_along_axis(
+                buf, read_slot[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+            slot = jax.lax.rem(t, size)
+            z = (_matmul(jnp.concatenate([o, past], axis=-1), p["W_in"], compute_dtype)
+                 + _matmul(h_t, p["W_aux"], compute_dtype) + p["b_gate"])
+            g = _gate(z, R)
+            out = _matmul(g, p["W_out"], compute_dtype)
+            skip_sum = skip_sum + out[:, :S] + p["b_skip"]
+            newA.append(jax.lax.dynamic_update_slice_in_dim(
+                buf, o[:, None, :].astype(buf.dtype), slot, axis=1))
+            o = o + out[:, S:] + p["b_res"]
+        u = jax.nn.relu(skip_sum)
+        u = jax.nn.relu(_matmul(u, W_post1, compute_dtype) + b_post1)
+        logits = _matmul(u, W_post2, compute_dtype) + b_post2
+        if mode == "sampling":
+            x_next = jax.random.categorical(key_t, logits, axis=-1).astype(jnp.int32)
+        elif mode == "argmax":
+            x_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            raise ValueError("mode should be sampling or argmax")
+        return (x_cur, x_next, newF, newA, t + 1), x_next
+
+    h_steps = jnp.moveaxis(h_up[:, :n_steps], 0, 1)  # (T, B, A)
+    d_steps = d[:, :n_steps]
+    r_steps = jnp.stack(
+        [jnp.round(d_steps * dil).astype(jnp.int32) for dil in dilsA],
+        axis=-1)  # (B, T, nA)
+    r_steps = jnp.moveaxis(r_steps, 0, 1)  # (T, B, nA)
+    keys = jax.random.split(key, n_steps)
+
+    carry0 = (x_seed[:, -2], x_seed[:, -1], bufsF, bufsA, jnp.int32(t0))
+    _, samples = jax.lax.scan(step, carry0, (h_steps, r_steps, keys))
+    return jnp.moveaxis(samples, 0, 1)  # (B, n_steps)
+
+
+def batch_fast_generate(params: Params, cfg: ModelConfig,
+                        x: np.ndarray, h: np.ndarray,
+                        n_samples_list: Sequence[int], d: np.ndarray,
+                        seed: int = 100, mode: str = "sampling",
+                        compute_dtype=jnp.bfloat16) -> List[np.ndarray]:
+    """Batch AR synthesis — same contract as reference qpnet.py:314-559.
+
+    Args:
+      x: (B, T_seed) int32 seed samples (typically a single mu-law zero).
+      h: (B, F, A) standardized frame-rate aux features (zero-padded to the
+         longest utterance, reference qpnet_decode.py:73-88).
+      n_samples_list: samples to generate per utterance (F_i*up - 1).
+      d: (B, F*up) float32 pitch-dependent dilation factors at sample rate.
+    Returns:
+      list of (n_samples_i,) int32 arrays of generated mu-law samples.
+    """
+    B, F, A = h.shape
+    maxd = bucket_maxd(float(np.nanmax(np.ceil(d))) if d.size else 1.0)
+    rf = cfg.receptiveF + cfg.receptiveA * maxd + cfg.receptive_causal
+    n_steps = int(max(n_samples_list))
+
+    # pad seed history to rf+1 with mid-scale (reference qpnet.py:354-358)
+    n_pad = rf + 1 - x.shape[1]
+    if n_pad > 0:
+        x_seed = np.pad(x, ((0, 0), (n_pad, 0)),
+                        constant_values=cfg.n_quantize // 2)
+    else:
+        x_seed = x[:, -(rf + 1):]
+    d_gen = np.pad(d.astype(np.float32),
+                   ((0, 0), (0, max(0, n_steps - d.shape[1]))),
+                   constant_values=1.0)[:, :n_steps]
+
+    key = jax.random.PRNGKey(seed)
+    samples = _generate_scan(
+        params, cfg,
+        jnp.asarray(x_seed, jnp.int32),
+        jnp.asarray(h, jnp.float32),
+        jnp.asarray(d_gen, jnp.float32),
+        key, n_steps=n_steps, maxd=maxd, mode=mode,
+        compute_dtype=compute_dtype)
+    samples = np.asarray(jax.device_get(samples))
+    return [samples[i, : n] for i, n in enumerate(n_samples_list)]

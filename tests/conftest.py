@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU platform so
+multi-chip sharding logic is exercised without TPU hardware (the TPU-world
+answer to testing distributed code without a cluster)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
