@@ -180,8 +180,8 @@ def postprocess(params: Params, skip_sum: jnp.ndarray, dtype) -> jnp.ndarray:
 
 def forward(params: Params, cfg: ModelConfig,
             x: jnp.ndarray, h: jnp.ndarray, d: jnp.ndarray,
-            compute_dtype=jnp.float32, h_up: Optional[jnp.ndarray] = None
-            ) -> jnp.ndarray:
+            compute_dtype=jnp.float32, h_up: Optional[jnp.ndarray] = None,
+            remat: bool = False) -> jnp.ndarray:
     """Teacher-forced forward over a full window.
 
     Args:
@@ -203,13 +203,19 @@ def forward(params: Params, cfg: ModelConfig,
          + shift_time(jnp.take(params["embed_prev"], x, axis=0), 1)
          + params["b_causal"]).astype(jnp.float32)
 
+    # rematerialize each residual block in the backward pass: stores only the
+    # (B, T, R) block boundaries instead of every gate activation — the
+    # HBM-for-FLOPs trade that lets batch>1 windows of 30k samples fit
+    fblock = jax.checkpoint(fixed_block, static_argnums=(3, 4, 5)) if remat else fixed_block
+    ablock = jax.checkpoint(adaptive_block, static_argnums=(4, 5)) if remat else adaptive_block
+
     skip_sum = jnp.zeros(o.shape[:2] + (cfg.n_skipch,), jnp.float32)
     for p, dil in zip(params["fixed"], cfg.dilationsF):
-        o, skip = fixed_block(p, o, h_up, dil, R, compute_dtype)
+        o, skip = fblock(p, o, h_up, dil, R, compute_dtype)
         skip_sum = skip_sum + skip
     for p, dil in zip(params["adaptive"], cfg.dilationsA):
         r = jnp.round(d * dil).astype(jnp.int32)
-        o, skip = adaptive_block(p, o, h_up, r, R, compute_dtype)
+        o, skip = ablock(p, o, h_up, r, R, compute_dtype)
         skip_sum = skip_sum + skip
     return postprocess(params, skip_sum, compute_dtype)
 

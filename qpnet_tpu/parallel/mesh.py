@@ -1,0 +1,53 @@
+"""Device mesh & sharding helpers.
+
+The reference's entire distributed story is single-process
+`torch.nn.DataParallel` replicate-scatter-gather (qpnet_train.py:416-423) and
+per-GPU `torch.multiprocessing` decode fan-out (qpnet_decode.py:322-331).
+The TPU-native equivalent is a `jax.sharding.Mesh` with a data-parallel axis:
+batch tensors are sharded over `dp`, parameters are replicated, and XLA
+inserts the gradient all-reduce over ICI — no NCCL/MPI translation.
+
+Axes:
+  dp — data parallel (batch windows in training, utterances in decode)
+
+The model is ~24M params; tensor/pipeline axes are unnecessary for parity
+(SURVEY.md §2.3) but the helpers below accept extra axes so larger variants
+can shard without code changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axes: Sequence[str] = ("dp",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Build a mesh over the first `n_devices` (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    if shape is None:
+        shape = (len(devs),) + (1,) * (len(axes) - 1)
+    arr = np.asarray(devs).reshape(shape)
+    return Mesh(arr, axes)
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis: str = "dp") -> NamedSharding:
+    """Shard the leading (batch) dimension over `axis`, replicate the rest."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "dp"):
+    """device_put a pytree of host arrays with leading-axis sharding."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, batch_sharding(mesh, np.ndim(a), axis)),
+        tree)

@@ -1,0 +1,112 @@
+"""Training/eval steps: masked cross-entropy, Adam, data-parallel pjit.
+
+Reference semantics: qpnet_train.py:425-431 (Adam lr 1e-4, CrossEntropyLoss
+over the last `batch_length` samples, qpnet_train.py:517-531).  Weight decay
+follows torch's L2-in-gradient convention (decay added to the gradient
+*before* the Adam moments), not decoupled AdamW.
+
+TPU-native structure: one jitted step; when a `Mesh` is supplied the batch is
+sharded over the `dp` axis and parameters are replicated — XLA GSPMD inserts
+the gradient all-reduce over ICI (replacing torch DataParallel's
+scatter/gather, reference qpnet_train.py:416-423).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qpnet_tpu.config import ModelConfig
+from qpnet_tpu.models.qpnet import Params, forward
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    iterations: jnp.ndarray  # scalar int32
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.0
+                   ) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) equivalent
+    (reference qpnet_train.py:426-429): L2 term enters the gradient before
+    the moment estimates."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts += [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+              optax.scale(-lr)]
+    return optax.chain(*parts)
+
+
+def masked_ce_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                   valid_len: jnp.ndarray) -> jnp.ndarray:
+    """Mean cross-entropy over the last `valid_len` positions of each
+    sequence (reference qpnet_train.py:525-528; all rows share valid_len,
+    asserted there)."""
+    B, T, Q = logits.shape
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]  # (B, T)
+    t = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    mask = (t >= T - valid_len).astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def _loss_fn(params, cfg, batch, compute_dtype, remat):
+    logits = forward(params, cfg, batch["x"], batch["h"], batch["d"],
+                     compute_dtype=compute_dtype, remat=remat)
+    return masked_ce_loss(logits, batch["t"], batch["valid_len"])
+
+
+def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None,
+                    compute_dtype=jnp.float32, remat: bool = True):
+    """Returns step(state, batch) -> (state, loss).
+
+    batch: {"x": (B,T) i32, "h": (B,F,A) f32, "t": (B,T) i32,
+            "d": (B,T) f32, "valid_len": scalar i32}
+    """
+
+    def step(state: TrainState, batch) -> tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(_loss_fn)(
+            state.params, cfg, batch, compute_dtype, remat)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.iterations + 1), loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("dp"))
+
+    def batch_shardings(batch):
+        return {k: (repl if jnp.ndim(v) == 0 else
+                    NamedSharding(mesh, P("dp", *([None] * (jnp.ndim(v) - 1)))))
+                for k, v in batch.items()}
+
+    def sharded_step(state, batch):
+        return step(state, batch)
+
+    return jax.jit(
+        sharded_step,
+        donate_argnums=(0,),
+        in_shardings=(repl, None),  # batch shardings applied by caller
+        out_shardings=(repl, repl),
+    )
+
+
+def make_eval_step(cfg: ModelConfig, compute_dtype=jnp.float32):
+    """Teacher-forced loss only (reference qpnet_validate.py:420-432)."""
+
+    @jax.jit
+    def step(params: Params, batch) -> jnp.ndarray:
+        return _loss_fn(params, cfg, batch, compute_dtype, remat=False)
+
+    return step

@@ -1,0 +1,166 @@
+"""Training step: loss decreases, checkpoint resume round-trips, and the
+8-virtual-device data-parallel step matches the single-device step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qpnet_tpu.config import ModelConfig
+from qpnet_tpu.models import init_params
+from qpnet_tpu.parallel import make_mesh, shard_batch
+from qpnet_tpu.train import (
+    TrainState, make_eval_step, make_optimizer, make_train_step,
+    masked_ce_loss, save_checkpoint, load_checkpoint, save_final,
+)
+
+
+def clone(tree):
+    import jax, jax.numpy as jnp
+    return jax.tree_util.tree_map(lambda a: jnp.array(a), tree)
+
+
+def tiny_cfg():
+    return ModelConfig(n_quantize=32, n_aux=4, n_resch=16, n_skipch=8,
+                       dilationF_depth=2, dilationF_repeat=1,
+                       dilationA_depth=2, dilationA_repeat=1,
+                       kernel_size=2, upsampling_factor=10)
+
+
+def synth_batch(cfg, B, T, seed=0):
+    rng = np.random.default_rng(seed)
+    # learnable structure: a repeating pattern
+    pat = rng.integers(0, cfg.n_quantize, size=50)
+    seq = np.tile(pat, T // 50 + 2)
+    x = np.stack([seq[i: i + T] for i in range(B)]).astype(np.int32)
+    t = np.stack([seq[i + 1: i + T + 1] for i in range(B)]).astype(np.int32)
+    h = rng.normal(size=(B, T // cfg.upsampling_factor, cfg.n_aux)).astype(np.float32)
+    d = np.full((B, T), 2.0, np.float32)
+    return {"x": x, "h": h, "t": t, "d": d,
+            "valid_len": np.int32(T // 2)}
+
+
+def test_masked_loss_ignores_prefix():
+    cfg = tiny_cfg()
+    B, T, Q = 2, 20, cfg.n_quantize
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(B, T, Q)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, Q, size=(B, T)), jnp.int32)
+    l1 = masked_ce_loss(logits, tgt, jnp.int32(5))
+    # corrupt the prefix: loss over last 5 unchanged
+    logits2 = logits.at[:, :15].set(0.0)
+    l2 = masked_ce_loss(logits2, tgt, jnp.int32(5))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_loss_decreases():
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(lr=5e-3)
+    step = make_train_step(cfg, tx, remat=False)
+    state = TrainState(params, tx.init(params), jnp.int32(0))
+    batch = {k: jnp.asarray(v) for k, v in synth_batch(cfg, 2, 200).items()}
+    losses = []
+    for _ in range(30):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+    assert int(state.iterations) == 30
+
+
+def test_remat_matches_no_remat():
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    tx = make_optimizer(lr=1e-3)
+    batch = {k: jnp.asarray(v) for k, v in synth_batch(cfg, 2, 100).items()}
+    p1, p2 = clone(params), clone(params)
+    s1 = TrainState(p1, tx.init(p1), jnp.int32(0))
+    s2 = TrainState(p2, tx.init(p2), jnp.int32(0))
+    step1 = make_train_step(cfg, tx, remat=False)
+    step2 = make_train_step(cfg, tx, remat=True)
+    s1, l1 = step1(s1, batch)
+    s2, l2 = step2(s2, batch)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(lr=1e-3)
+    opt_state = tx.init(params)
+    path = save_checkpoint(str(tmp_path), params, opt_state, 42)
+    ckpt = load_checkpoint(path)
+    assert ckpt["iterations"] == 42
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(ckpt["model"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    fpath = save_final(str(tmp_path), params)
+    assert "model" in load_checkpoint(fpath)
+    assert fpath.endswith("checkpoint-final.pkl")
+
+
+def test_resume_continues_identically(tmp_path):
+    """train 5 steps, checkpoint, train 5 more == train 10 straight."""
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    tx = make_optimizer(lr=1e-3)
+    step = make_train_step(cfg, tx, remat=False)
+    batch = {k: jnp.asarray(v) for k, v in synth_batch(cfg, 1, 100).items()}
+
+    pA, pB = clone(params), clone(params)
+    sA = TrainState(pA, tx.init(pA), jnp.int32(0))
+    for _ in range(10):
+        sA, _ = step(sA, batch)
+
+    sB = TrainState(pB, tx.init(pB), jnp.int32(0))
+    for _ in range(5):
+        sB, _ = step(sB, batch)
+    path = save_checkpoint(str(tmp_path), sB.params, sB.opt_state,
+                           int(sB.iterations))
+    ckpt = load_checkpoint(path)
+    sC = TrainState(
+        jax.tree_util.tree_map(jnp.asarray, ckpt["model"]),
+        jax.tree_util.tree_map(jnp.asarray, ckpt["optimizer"]),
+        jnp.int32(ckpt["iterations"]))
+    for _ in range(5):
+        sC, _ = step(sC, batch)
+    for a, b in zip(jax.tree_util.tree_leaves(sA.params),
+                    jax.tree_util.tree_leaves(sC.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_data_parallel_matches_single_device():
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    tx = make_optimizer(lr=1e-3)
+    batch_np = synth_batch(cfg, 8, 100, seed=5)
+
+    p1, p2 = clone(params), clone(params)
+    step_single = make_train_step(cfg, tx, remat=False)
+    s1 = TrainState(p1, tx.init(p1), jnp.int32(0))
+    s1, l1 = step_single(s1, {k: jnp.asarray(v) for k, v in batch_np.items()})
+
+    mesh = make_mesh(8)
+    step_dp = make_train_step(cfg, tx, mesh=mesh, remat=False)
+    sharded = shard_batch(mesh, {k: v for k, v in batch_np.items()
+                                 if np.ndim(v) > 0})
+    sharded["valid_len"] = jnp.asarray(batch_np["valid_len"])
+    s2 = TrainState(p2, tx.init(p2), jnp.int32(0))
+    s2, l2 = step_dp(s2, sharded)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_eval_step():
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ev = make_eval_step(cfg)
+    batch = {k: jnp.asarray(v) for k, v in synth_batch(cfg, 2, 100).items()}
+    loss = ev(params, batch)
+    assert np.isfinite(float(loss))
