@@ -1,0 +1,85 @@
+"""Benchmark: autoregressive synthesis throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The headline number is aggregate mu-law samples generated per second per
+chip for the flagship (default, ~24M-param) QPNet at the reference decode
+batch size (20 utterances, runQP.py:66).  `vs_baseline` is measured against
+the BASELINE.md north-star target of 50x real-time at 22.05 kHz per chip
+(22050*50 = 1,102,500 samples/s), i.e. vs_baseline > 1.0 beats the target.
+
+The reference implementation generates one sample per Python/CUDA-launch
+iteration (qpnet.py:446-557); it has no published RTF numbers (BASELINE.md),
+so the target is the only quantitative baseline.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=20,
+                    help="decode batch (reference default 20)")
+    ap.add_argument("--seconds", type=float, default=2.0,
+                    help="audio seconds per utterance")
+    ap.add_argument("--quick", action="store_true",
+                    help="short run (0.5s utterances)")
+    ap.add_argument("--fs", type=int, default=22050)
+    ap.add_argument("--f0", type=float, default=120.0,
+                    help="pitch of the synthetic aux track (drives the "
+                         "adaptive dilation factor)")
+    ap.add_argument("--mode", default="sampling",
+                    choices=["sampling", "argmax"])
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    args = ap.parse_args()
+    if args.quick:
+        args.seconds = 0.5
+
+    import jax
+    import jax.numpy as jnp
+    from qpnet_tpu.config import ModelConfig
+    from qpnet_tpu.models import init_params
+    from qpnet_tpu.models.generate import batch_fast_generate
+
+    cfg = ModelConfig.from_network_name("default")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    up = cfg.upsampling_factor
+    B = args.batch
+    F = int(args.seconds * args.fs) // up
+    n_samples = F * up - 1
+    rng = np.random.default_rng(0)
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    h[:, :, 1] = args.f0
+    d_val = args.fs / (args.f0 * cfg.dense_factor)
+    d = np.full((B, F * up), d_val, np.float32)
+    x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    def run():
+        return batch_fast_generate(
+            params, cfg, x0, h, [n_samples] * B, d,
+            seed=100, mode=args.mode, compute_dtype=dtype)
+
+    run()  # warm-up / compile
+    t0 = time.perf_counter()
+    out = run()
+    dt = time.perf_counter() - t0
+    total = B * n_samples
+    sps = total / dt
+    target = args.fs * 50.0
+    print(json.dumps({
+        "metric": "ar_synthesis_samples_per_sec_per_chip",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
