@@ -1,0 +1,29 @@
+"""Continuous-F0 conversion (reference feature_extract.py:173-199):
+voiced/unvoiced mask + linear interpolation over unvoiced gaps, with
+start/end extension by the first/last voiced value."""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+
+def convert_continuous_f0(f0: np.ndarray):
+    """Returns (uv, cont_f0) — matches the reference's exact semantics,
+    including the degenerate all-unvoiced case returning the raw f0."""
+    f0 = np.asarray(f0, dtype=np.float64)
+    uv = np.float32(f0 != 0)
+    if (f0 == 0).all():
+        logging.warning("all of the f0 values are 0.")
+        return uv, f0
+    start_f0 = f0[f0 != 0][0]
+    end_f0 = f0[f0 != 0][-1]
+    cont_f0 = f0.copy()
+    start_idx = np.where(cont_f0 == start_f0)[0][0]
+    end_idx = np.where(cont_f0 == end_f0)[0][-1]
+    cont_f0[:start_idx] = start_f0
+    cont_f0[end_idx:] = end_f0
+    nz_frames = np.where(cont_f0 != 0)[0]
+    cont_f0 = np.interp(np.arange(len(cont_f0)), nz_frames, cont_f0[nz_frames])
+    return uv, cont_f0
