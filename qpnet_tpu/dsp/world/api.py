@@ -1,0 +1,92 @@
+"""High-level analysis/synthesis API mirroring the surface the reference
+uses from sprocket (FeatureExtractor / Synthesizer; SURVEY.md §2.2), so the
+bin/ workloads stay thin.
+
+WorldAnalyzer.analyze(x) -> (f0, spc, ap)    [dio+stonemask, cheaptrick, d4c]
+           .mcep(dim, alpha)                 [sp2mc of the envelope]
+           .codeap()                         [band aperiodicity, dB]
+           .npow()                           [normalized frame power, dB]
+WorldSynthesizer.synthesis(f0, mcep, ap, alpha)   [mc2sp -> synthesize]
+                .synthesis_diff(x, diffmcep, alpha) [MLSA filtering]
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from qpnet_tpu.dsp.mcep import sp2mc, mc2sp, spectrogram2npow
+from qpnet_tpu.dsp.mlsa import synthesis_diff as _mlsa_synthesis_diff
+from qpnet_tpu.dsp.world.cheaptrick import cheaptrick
+from qpnet_tpu.dsp.world.codec import code_aperiodicity
+from qpnet_tpu.dsp.world.d4c import d4c
+from qpnet_tpu.dsp.world.dio import dio
+from qpnet_tpu.dsp.world.stonemask import stonemask
+from qpnet_tpu.dsp.world.synthesis import synthesize
+
+
+class WorldAnalyzer:
+    def __init__(self, fs: int = 22050, shiftms: float = 5.0,
+                 minf0: float = 40.0, maxf0: float = 800.0,
+                 fftl: int = 1024):
+        self.fs = fs
+        self.shiftms = shiftms
+        self.minf0 = minf0
+        self.maxf0 = maxf0
+        self.fftl = fftl
+        self._f0 = None
+        self._spc = None
+        self._ap = None
+        self._time_axis = None
+
+    def analyze(self, x: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        x = np.asarray(x, np.float64)
+        f0, time_axis = dio(x, self.fs, f0_floor=self.minf0,
+                            f0_ceil=self.maxf0, frame_period=self.shiftms)
+        f0 = stonemask(x, f0, time_axis, self.fs)
+        spc = cheaptrick(x, f0, time_axis, self.fs, fft_size=self.fftl,
+                         f0_floor=max(self.minf0, 71.0 * 1024 / self.fftl))
+        ap = d4c(x, f0, time_axis, self.fs, fft_size=self.fftl)
+        self._f0, self._spc, self._ap = f0, spc, ap
+        self._time_axis = time_axis
+        return f0, spc, ap
+
+    def _require(self):
+        if self._spc is None:
+            raise RuntimeError("call analyze() first")
+
+    def mcep(self, dim: int = 34, alpha: float = 0.455) -> np.ndarray:
+        self._require()
+        return sp2mc(self._spc, dim, alpha)
+
+    def codeap(self) -> np.ndarray:
+        self._require()
+        return code_aperiodicity(self._ap, self.fs)
+
+    def npow(self) -> np.ndarray:
+        self._require()
+        return spectrogram2npow(self._spc)
+
+
+class WorldSynthesizer:
+    def __init__(self, fs: int = 22050, fftl: int = 1024,
+                 shiftms: float = 5.0):
+        self.fs = fs
+        self.fftl = fftl
+        self.shiftms = shiftms
+
+    def synthesis(self, f0: np.ndarray, mcep: np.ndarray, ap: np.ndarray,
+                  alpha: float = 0.455) -> np.ndarray:
+        """mcep-domain envelope + full-band aperiodicity -> waveform
+        (sprocket Synthesizer.synthesis: mc2sp then WORLD synthesis).
+        Units follow the analyzed signal's units (the reference analyzes
+        int16-scale floats and writes the synthesis output as int16
+        directly, feature_extract.py:267-272)."""
+        sp = mc2sp(mcep, alpha, self.fftl)
+        return synthesize(f0, sp, ap, self.fs, frame_period=self.shiftms)
+
+    def synthesis_diff(self, x: np.ndarray, diffmcep: np.ndarray,
+                       alpha: float = 0.455) -> np.ndarray:
+        return _mlsa_synthesis_diff(x, diffmcep, alpha, self.shiftms, self.fs)

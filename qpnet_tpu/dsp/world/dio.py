@@ -1,0 +1,184 @@
+"""DIO fundamental-frequency estimator (Morise 2009/2010, the WORLD `dio`).
+
+Algorithm structure (faithful to WORLD dio.cc, vectorized in numpy):
+  1. low-cut the signal (FFT-domain high-pass at 50 Hz);
+  2. per octave-spaced candidate band: zero-phase low-pass with a Nuttall
+     FIR at the band's boundary frequency, then derive four event-interval
+     tracks (negative/positive zero crossings, peaks, dips);
+  3. each band yields per-frame candidate F0 = mean of the four interval
+     estimates and reliability = their stddev; the best band per frame
+     minimizes stddev/candidate;
+  4. contour fixing: kill frames with unreliable candidates or out-of-range
+     values, remove too-short voiced runs, and trim segment edges whose
+     step-to-step change exceeds `allowed_range`.
+
+Returned F0 is 0 for unvoiced frames, one frame per `frame_period` ms.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from qpnet_tpu.dsp.world.common import next_pow2, nuttall
+
+
+def _low_cut_fft(x: np.ndarray, fs: int, cutoff: float = 50.0) -> np.ndarray:
+    n = len(x)
+    fftl = next_pow2(n)
+    X = np.fft.rfft(x, fftl)
+    f = np.fft.rfftfreq(fftl, 1.0 / fs)
+    # smooth edge to avoid ringing
+    gain = np.clip((f - cutoff / 2) / (cutoff / 2), 0.0, 1.0)
+    return np.fft.irfft(X * gain, fftl)[:n]
+
+
+def _band_lowpass(x: np.ndarray, fs: int, boundary_f0: float) -> np.ndarray:
+    """Zero-phase Nuttall FIR low-pass with cutoff = boundary_f0 (the WORLD
+    GetFilteredSignal: filter length = fs / boundary_f0 / 2 rounded, applied
+    in the FFT domain)."""
+    filter_length_half = int(round(fs / boundary_f0 / 2.0))
+    w = nuttall(filter_length_half * 2 + 1)
+    t = np.arange(-filter_length_half, filter_length_half + 1)
+    lpf = np.sinc(2 * boundary_f0 * t / fs) * w
+    lpf /= lpf.sum()
+    n = len(x)
+    fftl = next_pow2(n + len(lpf))
+    y = np.fft.irfft(np.fft.rfft(x, fftl) * np.fft.rfft(lpf, fftl), fftl)
+    return y[filter_length_half: filter_length_half + n]
+
+
+def _event_times(sig: np.ndarray, fs: int, kind: str) -> np.ndarray:
+    """Times (s) of events: negative/positive-going zero crossings or
+    peaks/dips (zero crossings of the derivative)."""
+    if kind in ("peak", "dip"):
+        sig = np.diff(sig)
+        sig = -sig if kind == "peak" else sig
+        kind = "negzc" if kind == "negzc" else "poszc"
+        # peaks: derivative goes + -> -  == negative-going zc of derivative
+    s0, s1 = sig[:-1], sig[1:]
+    if kind == "poszc":
+        idx = np.where((s0 < 0) & (s1 >= 0))[0]
+    else:
+        idx = np.where((s0 > 0) & (s1 <= 0))[0]
+    if len(idx) == 0:
+        return np.zeros(0)
+    frac = s0[idx] / (s0[idx] - s1[idx] + 1e-30)
+    return (idx + frac) / fs
+
+
+def _interval_f0_track(times: np.ndarray, frame_times: np.ndarray
+                       ) -> np.ndarray:
+    """Event times -> instantaneous F0 at event midpoints, interpolated to
+    frame times; 0 where undefined."""
+    if len(times) < 3:
+        return np.zeros(len(frame_times))
+    intervals = np.diff(times)
+    centers = (times[:-1] + times[1:]) / 2
+    good = intervals > 1e-6
+    if good.sum() < 2:
+        return np.zeros(len(frame_times))
+    f0 = 1.0 / intervals[good]
+    out = np.interp(frame_times, centers[good], f0)
+    out[frame_times < centers[good][0]] = f0[0]
+    out[frame_times > centers[good][-1]] = f0[-1]
+    return out
+
+
+def _band_candidate(x_band: np.ndarray, fs: int, boundary_f0: float,
+                    f0_floor: float, f0_ceil: float,
+                    frame_times: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """One band's (candidate_f0, reliability) per frame."""
+    tracks = []
+    for kind in ("negzc", "poszc", "peak", "dip"):
+        if kind in ("peak", "dip"):
+            d = np.diff(x_band)
+            sig = d
+            s0, s1 = sig[:-1], sig[1:]
+            if kind == "peak":
+                idx = np.where((s0 > 0) & (s1 <= 0))[0]
+            else:
+                idx = np.where((s0 < 0) & (s1 >= 0))[0]
+            if len(idx) == 0:
+                tracks.append(np.zeros(len(frame_times)))
+                continue
+            frac = s0[idx] / (s0[idx] - s1[idx] + 1e-30)
+            times = (idx + 0.5 + frac) / fs
+            tracks.append(_interval_f0_track(times, frame_times))
+        else:
+            times = _event_times(x_band, fs, kind)
+            tracks.append(_interval_f0_track(times, frame_times))
+    tr = np.stack(tracks)  # (4, F)
+    cand = tr.mean(axis=0)
+    rel = tr.std(axis=0)
+    # out-of-band or out-of-range candidates are unreliable
+    bad = ((cand <= boundary_f0 / 2) | (cand > boundary_f0 * 2)
+           | (cand < f0_floor) | (cand > f0_ceil) | np.any(tr <= 0, axis=0))
+    rel = np.where(bad, np.inf, rel)
+    cand = np.where(bad, 0.0, cand)
+    return cand, rel
+
+
+def _fix_contour(f0: np.ndarray, frame_period_ms: float,
+                 allowed_range: float = 0.1,
+                 voice_range_minimum_ms: float = 30.0) -> np.ndarray:
+    """Contour cleanup: drop >allowed_range discontinuities at voiced-run
+    edges and erase voiced runs shorter than voice_range_minimum."""
+    f0 = f0.copy()
+    n = len(f0)
+    # step: kill frames whose neighbors disagree (local discontinuity)
+    prev = np.roll(f0, 1)
+    prev[0] = f0[0]
+    jump = np.abs(f0 - prev) / np.maximum(f0, 1e-9)
+    voiced = f0 > 0
+    bad = voiced & (prev > 0) & (jump > allowed_range)
+    # trim discontinuous frames (forward then backward pass)
+    for i in range(1, n):
+        if f0[i] > 0 and f0[i - 1] > 0 and \
+                abs(f0[i] - f0[i - 1]) / f0[i] > allowed_range:
+            f0[i] = 0.0 if bad[i] else f0[i]
+    # remove short voiced runs
+    min_frames = max(1, int(round(voice_range_minimum_ms / frame_period_ms)))
+    i = 0
+    while i < n:
+        if f0[i] > 0:
+            j = i
+            while j < n and f0[j] > 0:
+                j += 1
+            if j - i < min_frames:
+                f0[i:j] = 0.0
+            i = j
+        else:
+            i += 1
+    return f0
+
+
+def dio(x: np.ndarray, fs: int, f0_floor: float = 71.0,
+        f0_ceil: float = 800.0, frame_period: float = 5.0,
+        channels_in_octave: float = 2.0,
+        allowed_range: float = 0.1) -> Tuple[np.ndarray, np.ndarray]:
+    """Estimate F0. Returns (f0, time_axis); f0==0 marks unvoiced frames."""
+    x = np.asarray(x, np.float64)
+    n_frames = int(len(x) / (fs * frame_period / 1000.0)) + 1
+    time_axis = np.arange(n_frames) * frame_period / 1000.0
+    xlc = _low_cut_fft(x, fs, 50.0)
+
+    n_bands = 1 + int(np.log2(f0_ceil / f0_floor) * channels_in_octave)
+    boundary_f0s = f0_floor * (2.0 ** ((np.arange(n_bands) + 1)
+                                       / channels_in_octave))
+    cands = np.zeros((n_bands, n_frames))
+    rels = np.full((n_bands, n_frames), np.inf)
+    for b, bf0 in enumerate(boundary_f0s):
+        xb = _band_lowpass(xlc, fs, bf0)
+        cands[b], rels[b] = _band_candidate(
+            xb, fs, bf0, f0_floor, f0_ceil, time_axis)
+
+    # best band per frame: minimal normalized reliability
+    score = rels / np.maximum(cands, 1e-9)
+    best = np.argmin(score, axis=0)
+    f0 = cands[best, np.arange(n_frames)]
+    best_rel = rels[best, np.arange(n_frames)] / np.maximum(f0, 1e-9)
+    f0 = np.where(best_rel < allowed_range, f0, 0.0)
+    f0 = _fix_contour(f0, frame_period, allowed_range)
+    return f0, time_axis
