@@ -1,0 +1,219 @@
+"""WORLD feature extraction / analysis-synthesis worker.
+
+CLI-compatible with the reference worker (reference
+src/bin/feature_extract.py:32-94 flag surface): `--inv true` extracts
+h5 features (`/world`, `/f0`, `/npow`, `/vad_idx`), `--inv false`
+re-synthesizes `h5_restored/*.wav` from features.  The WORLD/SPTK backends
+are this framework's own DSP (qpnet_tpu.dsp) instead of pyworld/sprocket.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+from scipy.io import wavfile
+
+from qpnet_tpu.data import check_hdf5, find_files, read_hdf5, read_txt, write_hdf5
+from qpnet_tpu.dsp import (
+    convert_continuous_f0, extfrm, low_cut_filter, low_pass_filter,
+)
+from qpnet_tpu.dsp.world import WorldAnalyzer, WorldSynthesizer, decode_aperiodicity
+from qpnet_tpu.ops import extend_time
+from qpnet_tpu.utils import multi_processing, set_loglevel
+
+
+def strtobool(v: str) -> bool:
+    return str(v).lower() in ("y", "yes", "t", "true", "on", "1")
+
+
+def get_arguments(argv=None):
+    parser = argparse.ArgumentParser(description="making feature files")
+    parser.add_argument("--waveforms", required=True, type=str)
+    parser.add_argument("--feature_dir", default=None, type=str)
+    parser.add_argument("--feature_type", default="world", choices=["world"])
+    parser.add_argument("--feature_format", default="h5", type=str)
+    parser.add_argument("--fs", default=22050, type=int)
+    parser.add_argument("--shiftms", default=5.0, type=float)
+    parser.add_argument("--fftl", default=1024, type=int)
+    parser.add_argument("--minf0", default=40, type=float)
+    parser.add_argument("--maxf0", default=400, type=float)
+    parser.add_argument("--pow_th", default=-20, type=float)
+    parser.add_argument("--mcep_dim", default=34, type=int)
+    parser.add_argument("--mcep_dim_start", default=2, type=int)
+    parser.add_argument("--mcep_dim_end", default=37, type=int)
+    parser.add_argument("--mcep_alpha", default=0.455, type=float)
+    parser.add_argument("--highpass_cutoff", default=70, type=int)
+    parser.add_argument("--f0_dim_idx", default=1, type=int)
+    parser.add_argument("--ap_dim_idx", default=-2, type=int)
+    parser.add_argument("--save_f0", default=True, type=strtobool)
+    parser.add_argument("--save_ap", default=False, type=strtobool)
+    parser.add_argument("--save_spc", default=False, type=strtobool)
+    parser.add_argument("--save_npow", default=True, type=strtobool)
+    parser.add_argument("--save_extended", default=False, type=strtobool)
+    parser.add_argument("--save_vad", default=True, type=strtobool)
+    parser.add_argument("--overwrite", default=False, type=strtobool)
+    parser.add_argument("--inv", default=True, type=strtobool)
+    parser.add_argument("--n_jobs", default=10, type=int)
+    parser.add_argument("--verbose", default=1, type=int)
+    return parser.parse_args(argv)
+
+
+def rootdir_replace(filepath, extname=None, newdir=None):
+    filename = os.path.basename(filepath)
+    rootdir = os.path.dirname(filepath)
+    if extname is not None:
+        filename = "%s.%s" % (filename.split(".")[0], extname)
+    if newdir is None:
+        newdir = rootdir
+    return "%s/%s" % (newdir, filename)
+
+
+def _feat_name(wav_name, args):
+    if args.feature_dir is None:
+        return wav_name.replace("wav", args.feature_format)
+    return rootdir_replace(wav_name, extname=args.feature_format,
+                           newdir=args.feature_dir)
+
+
+def world_feature_extract(wav_list, args):
+    """Extract `/world` (uv | contF0 | mcep | codeap) + aux datasets
+    (reference feature_extract.py:276-361)."""
+    analyzer = WorldAnalyzer(fs=args.fs, shiftms=args.shiftms,
+                             minf0=args.minf0, maxf0=args.maxf0,
+                             fftl=args.fftl)
+    for i, wav_name in enumerate(wav_list):
+        feat_name = _feat_name(wav_name, args)
+        if check_hdf5(feat_name, "/world") and not args.overwrite:
+            logging.info("skip %s (%d/%d)", wav_name, i + 1, len(wav_list))
+            continue
+        logging.info("now processing %s (%d/%d)", wav_name, i + 1,
+                     len(wav_list))
+        fs, x = wavfile.read(wav_name)
+        x = np.array(x, dtype=np.float64)
+        if args.highpass_cutoff != 0:
+            x = low_cut_filter(x, fs, cutoff=args.highpass_cutoff)
+        if fs != args.fs:
+            logging.error("sampling frequency is not matched.")
+            sys.exit(1)
+        f0, spc, ap = analyzer.analyze(x)
+        codeap = analyzer.codeap()
+        mcep = analyzer.mcep(dim=args.mcep_dim, alpha=args.mcep_alpha)
+        npow = analyzer.npow()
+        uv, cont_f0 = convert_continuous_f0(f0)
+        lpf_fs = int(1.0 / (args.shiftms * 0.001))
+        cont_f0_lpf = low_pass_filter(cont_f0, lpf_fs, cutoff=20)
+        next_cutoff = 70
+        while not (cont_f0_lpf > [0]).all():
+            logging.info("%s low-pass-filtered [%dHz]", feat_name, next_cutoff)
+            cont_f0_lpf = low_pass_filter(cont_f0, lpf_fs, cutoff=next_cutoff)
+            next_cutoff *= 2
+        feats = np.concatenate(
+            [uv[:, None], cont_f0_lpf[:, None], mcep, codeap], axis=1)
+        write_hdf5(feat_name, "/world", feats.astype(np.float32))
+        if args.save_f0:
+            write_hdf5(feat_name, "/f0", f0)
+        if args.save_ap:
+            write_hdf5(feat_name, "/ap", ap)
+        if args.save_spc:
+            write_hdf5(feat_name, "/spc", spc)
+        if args.save_npow:
+            write_hdf5(feat_name, "/npow", npow)
+        if args.save_extended:
+            up = int(args.shiftms * fs * 0.001)
+            write_hdf5(feat_name, "/world_extend",
+                       extend_time(feats, up).astype(np.float32))
+        if args.save_vad:
+            _, vad_idx = extfrm(mcep, npow, power_threshold=args.pow_th)
+            write_hdf5(feat_name, "/vad_idx", vad_idx)
+
+
+def world_speech_synthesis(wav_list, args):
+    """Analysis-synthesis restore pass (reference feature_extract.py:215-274)."""
+    synthesizer = WorldSynthesizer(fs=args.fs, fftl=args.fftl,
+                                   shiftms=args.shiftms)
+    for i, wav_name in enumerate(wav_list):
+        if args.feature_dir is None:
+            restored_name = wav_name.replace(
+                "wav", args.feature_format + "_restored")
+            restored_name = restored_name.replace(
+                ".%s" % (args.feature_format + "_restored"), ".wav")
+            feat_name = wav_name.replace("wav", args.feature_format)
+        else:
+            restored_name = rootdir_replace(
+                wav_name, newdir=args.feature_dir + "restored")
+            feat_name = rootdir_replace(wav_name,
+                                        extname=args.feature_format,
+                                        newdir=args.feature_dir)
+        if os.path.exists(restored_name) and not args.overwrite:
+            logging.info("skip %s (%d/%d)", restored_name, i + 1,
+                         len(wav_list))
+            continue
+        logging.info("now processing %s (%d/%d)", restored_name, i + 1,
+                     len(wav_list))
+        if not check_hdf5(feat_name, "/world"):
+            logging.error("%s is not existed.", feat_name)
+            sys.exit(1)
+        h = read_hdf5(feat_name, "/world")
+        if check_hdf5(feat_name, "/f0"):
+            f0 = read_hdf5(feat_name, "/f0")
+        else:
+            uv = h[:, 0].copy()
+            f0 = h[:, args.f0_dim_idx].copy()
+            f0[uv == 0.0] = 0.0
+        if check_hdf5(feat_name, "/ap"):
+            ap = read_hdf5(feat_name, "/ap")
+        else:
+            codeap = h[:, args.ap_dim_idx:].copy()
+            ap = decode_aperiodicity(codeap, args.fs, args.fftl)
+        mcep = h[:, args.mcep_dim_start: args.mcep_dim_end].copy()
+        wav = synthesizer.synthesis(f0, mcep, ap, alpha=args.mcep_alpha)
+        wav = np.clip(wav, -32768, 32767)
+        os.makedirs(os.path.dirname(restored_name), exist_ok=True)
+        wavfile.write(restored_name, args.fs, wav.astype(np.int16))
+
+
+def featpath_create(wav_list, feature_format):
+    for wav_name in wav_list:
+        feat_name = wav_name.replace("wav", feature_format)
+        dirname = os.path.dirname(feat_name)
+        if dirname:
+            os.makedirs(dirname, exist_ok=True)
+
+
+def wavpath_create(wav_list, feature_format):
+    for wav_name in wav_list:
+        restored = wav_name.replace("wav", feature_format + "_restored")
+        dirname = os.path.dirname(restored)
+        if dirname:
+            os.makedirs(dirname, exist_ok=True)
+
+
+def main(argv=None):
+    args = get_arguments(argv)
+    set_loglevel(args.verbose)
+    for key, value in vars(args).items():
+        logging.info("%s = %s", key, str(value))
+    if os.path.isdir(args.waveforms):
+        file_list = sorted(find_files(args.waveforms, "*.wav"))
+    else:
+        file_list = read_txt(args.waveforms)
+    logging.info("number of utterances = %d", len(file_list))
+
+    if args.inv:
+        target_fn, path_create = world_feature_extract, featpath_create
+    else:
+        target_fn, path_create = world_speech_synthesis, wavpath_create
+    if args.feature_dir is None:
+        path_create(file_list, args.feature_format)
+    else:
+        os.makedirs(args.feature_dir, exist_ok=True)
+        os.makedirs(args.feature_dir + "restored/", exist_ok=True)
+    multi_processing(file_list, target_fn, args.n_jobs, args)
+
+
+if __name__ == "__main__":
+    main()

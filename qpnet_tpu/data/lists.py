@@ -56,21 +56,19 @@ def path_initial(paths: Sequence[str]) -> None:
         os.makedirs(p, exist_ok=True)
 
 
-def templist(listf: str, templistf: str, outdir: str,
+def templist(listf: str, templistf: str, rootdir: str,
              keywords: Sequence[str], subwords: Sequence[str]) -> None:
-    """Rewrite each scp line replacing keyword_i -> subword_i, then write a
-    temp list (reference utils_pathlist.py:35-57).  `outdir` non-empty makes
-    an output-file list via the feat_id template convention."""
+    """Rewrite each scp line replacing keyword_i -> subword_i, prefix with
+    `rootdir`, and write a temp list (reference utils_pathlist.py:35-57;
+    note the reference passes an outdir template as rootdir in the
+    noise-restore step — harmless, as only basenames are consumed)."""
     lines = read_txt(listf)
     out = []
     for line in lines:
         newline = line
         for k, s in zip(keywords, subwords):
             newline = newline.replace(k, s)
-        if outdir:
-            feat_id = os.path.splitext(os.path.basename(newline))[0]
-            newline = outdir.replace("feat_id", feat_id)
-        out.append(newline)
+        out.append(rootdir + newline if rootdir else newline)
     write_txt(templistf, out)
 
 

@@ -101,11 +101,19 @@ def mlsa_filter(x: np.ndarray, b_frames: np.ndarray, alpha: float,
                 hopsize: int, pd: int = 4) -> np.ndarray:
     """Filter waveform `x` through the MLSA filter with per-frame
     coefficients `b_frames` ((F, M+1), from mc2b), switching coefficients
-    every `hopsize` samples (pysptk.synthesis.Synthesizer convention)."""
+    every `hopsize` samples (pysptk.synthesis.Synthesizer convention).
+
+    Host-side DSP: always runs on the CPU backend — feature pipelines are
+    CPU-pool workloads and must not trip a TPU compile (SURVEY.md §2.3
+    "CPU task parallel").
+    """
+    import jax
     import jax.numpy as jnp
-    y = _mlsa_scan(np.asarray(x, np.float32),
-                   jnp.asarray(np.asarray(b_frames, np.float32)),
-                   float(alpha), int(pd), int(hopsize))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        y = _mlsa_scan(np.asarray(x, np.float32),
+                       jnp.asarray(np.asarray(b_frames, np.float32)),
+                       float(alpha), int(pd), int(hopsize))
     return np.asarray(y, np.float64)
 
 

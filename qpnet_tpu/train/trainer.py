@@ -1,0 +1,108 @@
+"""Shared training loop used by the SI-train and SD-update workers
+(the reference duplicates ~500 lines between qpnet_train.py and
+qpnet_update.py; here the only difference is the initial-weights source).
+
+Reproduces the reference's operational behavior: streaming prefetched
+batches, loss averaging every `intervals` iterations with ETA logging,
+`checkpoint-<iter>.pkl` every interval, weights-only `checkpoint-final.pkl`,
+`loss-final.yml` history (reference qpnet_train.py:477-567).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from qpnet_tpu.config import ModelConfig, TrainConfig
+from qpnet_tpu.data.batcher import background, train_window_generator
+from qpnet_tpu.data.stats import load_scaler
+from qpnet_tpu.models import count_params, init_params
+from qpnet_tpu.train.checkpoint import (
+    load_checkpoint, save_checkpoint, save_final,
+)
+from qpnet_tpu.train.step import TrainState, make_optimizer, make_train_step
+
+
+def run_training(cfg: ModelConfig, tcfg: TrainConfig,
+                 wav_list: Sequence[str], feat_list: Sequence[str],
+                 stats_path: str, expdir: str,
+                 feature_type: str = "world",
+                 resume: Optional[str] = None,
+                 pretrain: Optional[str] = None,
+                 mesh=None) -> None:
+    os.makedirs(expdir, exist_ok=True)
+    key = jax.random.PRNGKey(tcfg.seed)
+    np.random.seed(tcfg.seed)
+    params = init_params(key, cfg)
+    logging.info("number of model parameters: %d", count_params(params))
+
+    tx = make_optimizer(lr=tcfg.lr, weight_decay=tcfg.weight_decay)
+    step_fn = make_train_step(cfg, tx, mesh=mesh, remat=True)
+
+    iterations = 0
+    loss_record = []
+    flossyml = os.path.join(expdir, "loss-final.yml")
+    if resume and os.path.exists(resume):
+        ckpt = load_checkpoint(resume)
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["model"])
+        opt_state = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,
+            ckpt["optimizer"])
+        iterations = ckpt["iterations"]
+        logging.info("restored from %d-iter checkpoint.", iterations)
+        if os.path.exists(flossyml):
+            with open(flossyml, encoding="utf-8") as yf:
+                loss_record = yaml.safe_load(yf) or []
+    else:
+        if pretrain:
+            ckpt = load_checkpoint(pretrain)
+            params = jax.tree_util.tree_map(jnp.asarray, ckpt["model"])
+            logging.info("loaded pretrained model %s (fresh optimizer).",
+                         pretrain)
+        opt_state = tx.init(params)
+    state = TrainState(params, opt_state, jnp.int32(iterations))
+
+    scaler = load_scaler(stats_path, feature_type)
+    generator = background(2)(train_window_generator)(
+        wav_list, feat_list, cfg,
+        feat_transform=scaler.transform,
+        feature_type=feature_type,
+        batch_length=tcfg.batch_length,
+        batch_size=tcfg.batch_size,
+        max_length=tcfg.max_length,
+        f0_threshold=tcfg.f0_threshold,
+        shuffle=True, seed=tcfg.seed, loop=True)
+
+    loss_sum, total_t = 0.0, 0.0
+    logging.info("training start!")
+    for i in range(iterations, tcfg.iters):
+        start = time.time()
+        batch_np = generator.next()
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        state, loss = step_fn(state, batch)
+        loss_sum += float(loss)
+        total_t += time.time() - start
+        if (i + 1) % tcfg.intervals == 0:
+            avg = loss_sum / tcfg.intervals
+            sec = total_t / tcfg.intervals
+            eta = int((tcfg.iters - (i + 1)) * sec)
+            logging.info("(iter:%d) average loss = %.6f (%.3f sec / batch) "
+                         "ETA %02d:%02d:%02d", i + 1, avg, sec,
+                         eta // 3600, (eta % 3600) // 60, eta % 60)
+            loss_record.append(avg)
+            loss_sum, total_t = 0.0, 0.0
+        if (i + 1) % tcfg.checkpoint_interval == 0:
+            save_checkpoint(expdir, state.params, state.opt_state, i + 1)
+            logging.info("%d-iter checkpoint created.", i + 1)
+
+    save_final(expdir, state.params)
+    logging.info("final checkpoint created.")
+    with open(flossyml, "w", encoding="utf-8") as yf:
+        yaml.safe_dump([float(x) for x in loss_record], yf)
