@@ -49,19 +49,50 @@ def bucket_maxd(maxd: float) -> int:
     return int(np.ceil(maxd))
 
 
-def _fused_weights(params: Params, dtype):
-    """Pre-concatenate per-layer weights for the one-matmul-per-block step."""
+def _quantize_int8(w: jnp.ndarray):
+    """Per-output-column symmetric int8 weight quantization."""
+    s = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def _fused_weights(params: Params, dtype, quantize: str = "none"):
+    """Pre-concatenate per-layer weights for the one-matmul-per-block step.
+
+    quantize="int8" stores the two large per-block matrices as int8 with
+    per-column scales — weight-only quantization that halves the per-step
+    HBM weight traffic, which is the AR generation bottleneck (the whole
+    24M-param model streams from HBM every emitted sample).
+    """
     def fuse(p):
-        return {
-            "W_in": jnp.concatenate([p["W_cur"], p["W_prev"]], axis=0).astype(dtype),
+        W_in = jnp.concatenate([p["W_cur"], p["W_prev"]], axis=0)
+        W_out = jnp.concatenate([p["W_skip"], p["W_res"]], axis=1)
+        d = {
             "W_aux": p["W_aux"].astype(dtype),
             "b_gate": p["b_gate"].astype(jnp.float32),
-            "W_out": jnp.concatenate([p["W_skip"], p["W_res"]], axis=1).astype(dtype),
             "b_skip": p["b_skip"].astype(jnp.float32),
             "b_res": p["b_res"].astype(jnp.float32),
         }
+        if quantize == "int8":
+            d["W_in_q"], d["s_in"] = _quantize_int8(W_in)
+            d["W_out_q"], d["s_out"] = _quantize_int8(W_out)
+        else:
+            d["W_in"] = W_in.astype(dtype)
+            d["W_out"] = W_out.astype(dtype)
+        return d
+
     return ([fuse(p) for p in params["fixed"]],
             [fuse(p) for p in params["adaptive"]])
+
+
+def _wmatmul(x, p, key, dtype):
+    """x @ W for a fused weight entry, dequantizing int8 on the fly (the
+    convert+scale fuses into the matmul operand read under XLA)."""
+    if key + "_q" in p:
+        y = _matmul(x, p[key + "_q"].astype(dtype), dtype)
+        return y * p["s_" + key.split("_")[1]]
+    return _matmul(x, p[key], dtype)
 
 
 def _prime_activations(params: Params, cfg: ModelConfig,
@@ -92,12 +123,14 @@ def _ring_from_tail(act: jnp.ndarray, size: int, t0: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "maxd", "mode", "compute_dtype"))
+    static_argnames=("cfg", "n_steps", "maxd", "mode", "compute_dtype",
+                     "quantize"))
 def _generate_scan(params: Params, cfg: ModelConfig,
                    x_seed: jnp.ndarray, h: jnp.ndarray, d: jnp.ndarray,
                    key: jax.Array, n_steps: int, maxd: int,
                    mode: str = "sampling",
-                   compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                   compute_dtype=jnp.bfloat16,
+                   quantize: str = "none") -> jnp.ndarray:
     """Core compiled generation.
 
     Args:
@@ -120,7 +153,7 @@ def _generate_scan(params: Params, cfg: ModelConfig,
 
     h_up = upsample_aux(params, h, cfg.upsampling_factor)  # (B, F*up, A)
 
-    fixedW, adaptW = _fused_weights(params, compute_dtype)
+    fixedW, adaptW = _fused_weights(params, compute_dtype, quantize)
     embed_cur = params["embed_cur"].astype(jnp.float32)
     embed_prev = params["embed_prev"].astype(jnp.float32)
     b_causal = params["b_causal"].astype(jnp.float32)
@@ -152,10 +185,11 @@ def _generate_scan(params: Params, cfg: ModelConfig,
             buf, size = bufsF[li], sizesF[li]
             slot = jax.lax.rem(t, size)
             past = jax.lax.dynamic_slice_in_dim(buf, slot, 1, axis=1)[:, 0]
-            z = (_matmul(jnp.concatenate([o, past], axis=-1), p["W_in"], compute_dtype)
+            z = (_wmatmul(jnp.concatenate([o, past], axis=-1), p, "W_in",
+                          compute_dtype)
                  + _matmul(h_t, p["W_aux"], compute_dtype) + p["b_gate"])
             g = _gate(z, R)
-            out = _matmul(g, p["W_out"], compute_dtype)
+            out = _wmatmul(g, p, "W_out", compute_dtype)
             skip_sum = skip_sum + out[:, :S] + p["b_skip"]
             newF.append(jax.lax.dynamic_update_slice_in_dim(
                 buf, o[:, None, :].astype(buf.dtype), slot, axis=1))
@@ -168,10 +202,11 @@ def _generate_scan(params: Params, cfg: ModelConfig,
             past = jnp.take_along_axis(
                 buf, read_slot[:, None, None].astype(jnp.int32), axis=1)[:, 0]
             slot = jax.lax.rem(t, size)
-            z = (_matmul(jnp.concatenate([o, past], axis=-1), p["W_in"], compute_dtype)
+            z = (_wmatmul(jnp.concatenate([o, past], axis=-1), p, "W_in",
+                          compute_dtype)
                  + _matmul(h_t, p["W_aux"], compute_dtype) + p["b_gate"])
             g = _gate(z, R)
-            out = _matmul(g, p["W_out"], compute_dtype)
+            out = _wmatmul(g, p, "W_out", compute_dtype)
             skip_sum = skip_sum + out[:, :S] + p["b_skip"]
             newA.append(jax.lax.dynamic_update_slice_in_dim(
                 buf, o[:, None, :].astype(buf.dtype), slot, axis=1))
@@ -200,11 +235,102 @@ def _generate_scan(params: Params, cfg: ModelConfig,
     return jnp.moveaxis(samples, 0, 1)  # (B, n_steps)
 
 
+def _prime_ring_buffers(params: Params, cfg: ModelConfig,
+                        x_seed: np.ndarray, h0_up: np.ndarray,
+                        maxd: int, compute_dtype):
+    """Teacher-forced priming pass shared by both engines; returns
+    (bufsF, bufsA) stacked into the pallas layout (n_layers, max_size, B, R)
+    plus the per-layer ring lists for the XLA path."""
+    B = x_seed.shape[0]
+    rf = cfg.receptiveF + cfg.receptiveA * maxd + cfg.receptive_causal
+    h_up_ctx = jnp.broadcast_to(jnp.asarray(h0_up)[:, None, :],
+                                (B, rf, h0_up.shape[-1]))
+    d_ctx = jnp.ones((B, rf), jnp.float32)
+    acts = _prime_activations(params, cfg, jnp.asarray(x_seed[:, :-1]),
+                              h_up_ctx, d_ctx, compute_dtype)
+    sizesF = list(cfg.dilationsF)
+    sizesA = [maxd * dil for dil in cfg.dilationsA]
+    bufsF = [_ring_from_tail(acts[i], s, rf) for i, s in enumerate(sizesF)]
+    bufsA = [_ring_from_tail(acts[len(sizesF) + i], s, rf)
+             for i, s in enumerate(sizesA)]
+    return bufsF, bufsA
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "maxd", "n_steps", "mode", "interpret",
+                     "quantize"))
+def _pallas_device_path(params, cfg, x_seed, h_pad, d_frames, seed,
+                        maxd, n_steps, mode, interpret, quantize="none"):
+    """Everything device-side in ONE jit: weight packing, the priming pass,
+    buffer layout, and the mega-kernel itself.  (Running these eagerly costs
+    seconds of per-op dispatch + host round-trips per call.)"""
+    from qpnet_tpu.ops.gen_kernel import AUX_PAD, pack_weights, pallas_generate
+    B = x_seed.shape[0]
+    R = cfg.n_resch
+    A = cfg.n_aux
+    packed = pack_weights(params, cfg, quantize)
+    h0_up = h_pad[0, :, :A] * params["up_w"][0] + params["up_b"]
+    bufsF, bufsA = _prime_ring_buffers(params, cfg, x_seed, h0_up, maxd,
+                                       jnp.float32)
+    bufF0 = jnp.concatenate(
+        [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsF], axis=0)
+    bufA0 = jnp.concatenate(
+        [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsA], axis=0)
+    x0 = jnp.stack([x_seed[:, -2], x_seed[:, -1]]).astype(jnp.int32)
+    return pallas_generate(
+        packed, cfg, bufF0, bufA0, x0,
+        h_pad.astype(jnp.bfloat16), d_frames, seed,
+        B=B, maxd=maxd, n_steps=n_steps, mode=mode, interpret=interpret,
+        quantize=quantize)
+
+
+def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
+                 h: np.ndarray, d: np.ndarray, n_steps: int, maxd: int,
+                 seed: int, mode: str, interpret: bool,
+                 quantize: str = "none") -> np.ndarray:
+    """Generation via the VMEM-resident mega-kernel (ops/gen_kernel.py)."""
+    from qpnet_tpu.ops.gen_kernel import AUX_PAD
+    B, F, A = h.shape
+    up = cfg.upsampling_factor
+    # bucket n_steps to limit recompiles (one compile per ~0.5 s of audio)
+    chunk = 100 * up
+    n_pad_steps = -(-n_steps // chunk) * chunk
+    F_needed = -(-n_pad_steps // up)
+    h_pad = np.zeros((F_needed, B, AUX_PAD), np.float32)
+    h_pad[:min(F, F_needed), :, :A] = np.moveaxis(h, 0, 1)[:F_needed]
+    if F < F_needed:
+        h_pad[F:] = h_pad[F - 1]
+    d_frames = np.ones((F_needed, 1, B), np.float32)
+    d_fr = d[:, ::up]
+    d_frames[:min(d_fr.shape[1], F_needed), 0] = \
+        np.moveaxis(d_fr, 0, 1)[:F_needed]
+
+    out = _pallas_device_path(
+        params, cfg, jnp.asarray(x_seed, jnp.int32),
+        jnp.asarray(h_pad), jnp.asarray(d_frames),
+        jnp.asarray(seed, jnp.int32),
+        maxd=maxd, n_steps=n_pad_steps, mode=mode, interpret=interpret,
+        quantize=quantize)
+    out = np.asarray(jax.device_get(out))[:, 0, :]  # (steps, B)
+    return np.moveaxis(out, 0, 1)[:, :n_steps]
+
+
+def pallas_engine_available(cfg: ModelConfig, B: int, maxd: int) -> bool:
+    from qpnet_tpu.ops.gen_kernel import VMEM_LIMIT, vmem_cost_bytes
+    if jax.default_backend() == "cpu":
+        return False
+    return vmem_cost_bytes(cfg, B, maxd) < VMEM_LIMIT
+
+
 def batch_fast_generate(params: Params, cfg: ModelConfig,
                         x: np.ndarray, h: np.ndarray,
                         n_samples_list: Sequence[int], d: np.ndarray,
                         seed: int = 100, mode: str = "sampling",
-                        compute_dtype=jnp.bfloat16) -> List[np.ndarray]:
+                        compute_dtype=jnp.bfloat16,
+                        quantize: str = "none",
+                        engine: str = "auto",
+                        interpret: bool = False) -> List[np.ndarray]:
     """Batch AR synthesis — same contract as reference qpnet.py:314-559.
 
     Args:
@@ -232,6 +358,15 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
                    ((0, 0), (0, max(0, n_steps - d.shape[1]))),
                    constant_values=1.0)[:, :n_steps]
 
+    use_pallas = (engine == "pallas"
+                  or (engine == "auto"
+                      and pallas_engine_available(cfg, B, maxd)))
+    if use_pallas:
+        samples = _pallas_path(params, cfg, np.asarray(x_seed, np.int32),
+                               np.asarray(h, np.float32), d_gen, n_steps,
+                               maxd, seed, mode, interpret, quantize)
+        return [samples[i, : n] for i, n in enumerate(n_samples_list)]
+
     key = jax.random.PRNGKey(seed)
     samples = _generate_scan(
         params, cfg,
@@ -239,6 +374,6 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
         jnp.asarray(h, jnp.float32),
         jnp.asarray(d_gen, jnp.float32),
         key, n_steps=n_steps, maxd=maxd, mode=mode,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, quantize=quantize)
     samples = np.asarray(jax.device_get(samples))
     return [samples[i, : n] for i, n in enumerate(n_samples_list)]

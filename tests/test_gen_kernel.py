@@ -1,0 +1,62 @@
+"""Pallas generation mega-kernel vs the XLA scan path (interpret mode on
+CPU): both engines must emit identical argmax trajectories."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qpnet_tpu.config import ModelConfig
+from qpnet_tpu.models import init_params
+from qpnet_tpu.models.generate import batch_fast_generate
+
+
+def tiny_cfg():
+    return ModelConfig(n_quantize=32, n_aux=4, n_resch=16, n_skipch=8,
+                       dilationF_depth=2, dilationF_repeat=2,
+                       dilationA_depth=2, dilationA_repeat=1,
+                       kernel_size=2, upsampling_factor=5)
+
+
+@pytest.mark.slow
+def test_pallas_matches_xla_argmax():
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, F = 2, 24
+    up = cfg.upsampling_factor
+    n = F * up - 1
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.repeat(rng.uniform(1.0, 3.5, size=(B, F)), up,
+                  axis=1).astype(np.float32)
+    x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+    a = batch_fast_generate(params, cfg, x0, h, [n] * B, d, mode="argmax",
+                            compute_dtype=jnp.float32, engine="xla")
+    b = batch_fast_generate(params, cfg, x0, h, [n] * B, d, mode="argmax",
+                            engine="pallas", interpret=True)
+    A, Bm = np.stack(a), np.stack(b)
+    agree = (A == Bm).mean()
+    # bf16-vs-f32 rounding inside the kernel may flip rare near-tie argmax
+    # decisions, after which AR trajectories diverge; demand high agreement
+    # over the early (pre-divergence) region and report overall
+    assert (A[:, 0] == Bm[:, 0]).all(), "first sample must match"
+    assert (A[:, :40] == Bm[:, :40]).mean() > 0.85, \
+        f"early agreement {(A[:, :40] == Bm[:, :40]).mean():.3f}"
+
+
+@pytest.mark.slow
+def test_pallas_sampling_runs_and_is_deterministic():
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    B, F = 2, 12
+    up = cfg.upsampling_factor
+    n = F * up - 1
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.full((B, F * up), 2.0, np.float32)
+    x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+    a = batch_fast_generate(params, cfg, x0, h, [n] * B, d, seed=9,
+                            engine="pallas", interpret=True)
+    b = batch_fast_generate(params, cfg, x0, h, [n] * B, d, seed=9,
+                            engine="pallas", interpret=True)
+    np.testing.assert_array_equal(np.stack(a), np.stack(b))
