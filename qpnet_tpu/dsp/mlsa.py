@@ -103,10 +103,14 @@ def mlsa_filter(x: np.ndarray, b_frames: np.ndarray, alpha: float,
     coefficients `b_frames` ((F, M+1), from mc2b), switching coefficients
     every `hopsize` samples (pysptk.synthesis.Synthesizer convention).
 
-    Host-side DSP: always runs on the CPU backend — feature pipelines are
-    CPU-pool workloads and must not trip a TPU compile (SURVEY.md §2.3
-    "CPU task parallel").
+    Host-side DSP: prefers the native C core (native/libqpdsp.so — no
+    per-length recompiles, single tight loop); falls back to the JAX scan
+    pinned to the CPU backend (feature pipelines are CPU-pool workloads and
+    must not trip a TPU compile, SURVEY.md §2.3).
     """
+    from qpnet_tpu.dsp import native
+    if native.available():
+        return native.mlsa_filter(x, b_frames, alpha, hopsize, pd=pd)
     import jax
     import jax.numpy as jnp
     cpu = jax.devices("cpu")[0]
