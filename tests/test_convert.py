@@ -1,0 +1,215 @@
+"""Checkpoint conversion parity: a random reference-layout state_dict is
+converted, and our forward must match a pure-numpy oracle implementing the
+reference's exact valid-convolution math (reference qpnet.py:239-312)."""
+
+import numpy as np
+import pytest
+
+from qpnet_tpu.config import ModelConfig
+from qpnet_tpu.models import forward
+from qpnet_tpu.tools.convert_checkpoint import convert_state_dict
+
+
+def make_cfg():
+    return ModelConfig(n_quantize=16, n_aux=3, n_resch=8, n_skipch=4,
+                       dilationF_depth=2, dilationF_repeat=1,
+                       dilationA_depth=2, dilationA_repeat=1,
+                       kernel_size=2, upsampling_factor=4)
+
+
+def make_state_dict(cfg, rng):
+    Q, A, R, S = cfg.n_quantize, cfg.n_aux, cfg.n_resch, cfg.n_skipch
+    sd = {}
+
+    def conv(out, inp, k):
+        return rng.normal(size=(out, inp, k)).astype(np.float32) * 0.3
+
+    def bias(n):
+        return rng.normal(size=(n,)).astype(np.float32) * 0.1
+
+    sd["causal.conv.weight"] = conv(R, Q, 2)
+    sd["causal.conv.bias"] = bias(R)
+    sd["upsampling.conv.weight"] = rng.normal(
+        size=(1, 1, 1, cfg.upsampling_factor)).astype(np.float32)
+    sd["upsampling.conv.bias"] = bias(1)
+    for i in range(len(cfg.dilationsF)):
+        sd[f"dilF_sigmoid.{i}.conv.weight"] = conv(R, R, 2)
+        sd[f"dilF_sigmoid.{i}.conv.bias"] = bias(R)
+        sd[f"dilF_tanh.{i}.conv.weight"] = conv(R, R, 2)
+        sd[f"dilF_tanh.{i}.conv.bias"] = bias(R)
+        sd[f"auxF_1x1_sigmoid.{i}.weight"] = conv(R, A, 1)
+        sd[f"auxF_1x1_sigmoid.{i}.bias"] = bias(R)
+        sd[f"auxF_1x1_tanh.{i}.weight"] = conv(R, A, 1)
+        sd[f"auxF_1x1_tanh.{i}.bias"] = bias(R)
+        sd[f"skipF_1x1.{i}.weight"] = conv(S, R, 1)
+        sd[f"skipF_1x1.{i}.bias"] = bias(S)
+        sd[f"resF_1x1.{i}.weight"] = conv(R, R, 1)
+        sd[f"resF_1x1.{i}.bias"] = bias(R)
+    for i in range(len(cfg.dilationsA)):
+        for br in ("sigmoid", "tanh"):
+            sd[f"dilA_{br}.{i}.convC.weight"] = conv(R, R, 1)
+            sd[f"dilA_{br}.{i}.convC.bias"] = bias(R)
+            sd[f"dilA_{br}.{i}.convP.weight"] = conv(R, R, 1)
+            sd[f"dilA_{br}.{i}.convP.bias"] = bias(R)
+            sd[f"auxA_1x1_{br}.{i}.weight"] = conv(R, A, 1)
+            sd[f"auxA_1x1_{br}.{i}.bias"] = bias(R)
+        sd[f"skipA_1x1.{i}.weight"] = conv(S, R, 1)
+        sd[f"skipA_1x1.{i}.bias"] = bias(S)
+        sd[f"resA_1x1.{i}.weight"] = conv(R, R, 1)
+        sd[f"resA_1x1.{i}.bias"] = bias(R)
+    sd["conv_post_1.weight"] = conv(S, S, 1)
+    sd["conv_post_1.bias"] = bias(S)
+    sd["conv_post_2.weight"] = conv(Q, S, 1)
+    sd["conv_post_2.bias"] = bias(Q)
+    return sd
+
+
+def reference_forward_oracle(sd, cfg, x, h, d):
+    """Numpy implementation of the reference's forward pass
+    (valid convolutions, shrinking time axis, end-aligned aux slices;
+    qpnet.py:239-312).  x: (T,) ints; h: (F, A); d: (T,) dilation factors.
+    Returns logits for the last `batch_length` positions.
+    """
+    Q, A, R, S = cfg.n_quantize, cfg.n_aux, cfg.n_resch, cfg.n_skipch
+    up = cfg.upsampling_factor
+
+    def conv1d_valid(xin, w, b, dilation=1):
+        # xin: (C_in, T); w: (C_out, C_in, k)
+        out_ch, in_ch, k = w.shape
+        T = xin.shape[1] - dilation * (k - 1)
+        out = np.zeros((out_ch, T))
+        for kk in range(k):
+            out += w[:, :, kk] @ xin[:, kk * dilation: kk * dilation + T]
+        return out + b[:, None]
+
+    # preprocess: one-hot + causal conv (k=2)
+    onehot = np.eye(Q)[x].T                       # (Q, T)
+    out = conv1d_valid(onehot, sd["causal.conv.weight"],
+                       sd["causal.conv.bias"])
+    # upsample h: ConvTranspose2d == per-phase scale + bias
+    w_up = sd["upsampling.conv.weight"].reshape(-1)
+    b_up = sd["upsampling.conv.bias"].reshape(())
+    h_up = (np.repeat(h, up, axis=0)
+            * np.tile(w_up, h.shape[0])[:, None] + b_up).T  # (A, T)
+
+    maxd = int(np.ceil(d.max()))
+    recF = sum(cfg.dilationsF)
+    recA = sum(cfg.dilationsA) * maxd
+    T_total = x.shape[0]
+    batch_length = T_total - (recF + recA + 1)
+
+    skip_conns = []
+    # fixed blocks
+    outF = out
+    hindex = -(recA + recF + batch_length)
+    for i, dil in enumerate(cfg.dilationsF):
+        hindex += dil
+        hh = h_up[:, hindex:]
+        zs = conv1d_valid(outF, sd[f"dilF_sigmoid.{i}.conv.weight"],
+                          sd[f"dilF_sigmoid.{i}.conv.bias"], dil)
+        zt = conv1d_valid(outF, sd[f"dilF_tanh.{i}.conv.weight"],
+                          sd[f"dilF_tanh.{i}.conv.bias"], dil)
+        azs = conv1d_valid(hh, sd[f"auxF_1x1_sigmoid.{i}.weight"],
+                           sd[f"auxF_1x1_sigmoid.{i}.bias"])
+        azt = conv1d_valid(hh, sd[f"auxF_1x1_tanh.{i}.weight"],
+                           sd[f"auxF_1x1_tanh.{i}.bias"])
+        g = 1 / (1 + np.exp(-(zs + azs))) * np.tanh(zt + azt)
+        skip = conv1d_valid(g, sd[f"skipF_1x1.{i}.weight"],
+                            sd[f"skipF_1x1.{i}.bias"])
+        res = conv1d_valid(g, sd[f"resF_1x1.{i}.weight"],
+                           sd[f"resF_1x1.{i}.bias"])
+        outF = res + outF[:, -res.shape[1]:]
+        skip_conns.append(skip[:, -batch_length:])
+    # adaptive blocks
+    outA = outF
+    hindex = -(recA + batch_length)
+    d_end = d  # sample-rate dilation factors, end-aligned with h_up
+    for i, dil in enumerate(cfg.dilationsA):
+        shift = dil * maxd
+        hindex += shift
+        hh = h_up[:, hindex:]
+        L = hh.shape[1]
+        dd = d_end[-L:]
+        # past index: round(j - d*dil) for j in [-L, 0), end-relative
+        j = np.arange(-L, 0)
+        idx = np.round(j - dd * dil).astype(int)
+        past = outA[:, idx]                      # negative (end) indexing
+        cur = outA[:, shift:]
+        zs = (sd[f"dilA_sigmoid.{i}.convC.weight"][:, :, 0] @ cur
+              + sd[f"dilA_sigmoid.{i}.convC.bias"][:, None]
+              + sd[f"dilA_sigmoid.{i}.convP.weight"][:, :, 0] @ past
+              + sd[f"dilA_sigmoid.{i}.convP.bias"][:, None])
+        zt = (sd[f"dilA_tanh.{i}.convC.weight"][:, :, 0] @ cur
+              + sd[f"dilA_tanh.{i}.convC.bias"][:, None]
+              + sd[f"dilA_tanh.{i}.convP.weight"][:, :, 0] @ past
+              + sd[f"dilA_tanh.{i}.convP.bias"][:, None])
+        azs = conv1d_valid(hh, sd[f"auxA_1x1_sigmoid.{i}.weight"],
+                           sd[f"auxA_1x1_sigmoid.{i}.bias"])
+        azt = conv1d_valid(hh, sd[f"auxA_1x1_tanh.{i}.weight"],
+                           sd[f"auxA_1x1_tanh.{i}.bias"])
+        g = 1 / (1 + np.exp(-(zs + azs))) * np.tanh(zt + azt)
+        skip = conv1d_valid(g, sd[f"skipA_1x1.{i}.weight"],
+                            sd[f"skipA_1x1.{i}.bias"])
+        res = conv1d_valid(g, sd[f"resA_1x1.{i}.weight"],
+                           sd[f"resA_1x1.{i}.bias"])
+        outA = res + cur
+        skip_conns.append(skip[:, -batch_length:])
+
+    total = np.sum(skip_conns, axis=0)
+    u = np.maximum(total, 0)
+    u = np.maximum(conv1d_valid(u, sd["conv_post_1.weight"],
+                                sd["conv_post_1.bias"]), 0)
+    logits = conv1d_valid(u, sd["conv_post_2.weight"],
+                          sd["conv_post_2.bias"])
+    return logits.T  # (batch_length, Q)
+
+
+def test_converted_forward_matches_reference_oracle():
+    cfg = make_cfg()
+    rng = np.random.default_rng(0)
+    sd = make_state_dict(cfg, rng)
+    params = convert_state_dict(sd, cfg)
+
+    up = cfg.upsampling_factor
+    # choose a window: rf + batch_length, multiple of up
+    d_const = 2.0
+    maxd = 2
+    rf = sum(cfg.dilationsF) + sum(cfg.dilationsA) * maxd + 1
+    F_frames = 8
+    T = F_frames * up
+    batch_length = T - rf
+    x = rng.integers(0, cfg.n_quantize, size=T).astype(np.int32)
+    h = rng.normal(size=(F_frames, cfg.n_aux)).astype(np.float32)
+    d = np.full((T,), d_const, np.float32)
+
+    oracle = reference_forward_oracle(sd, cfg, x, h, d)
+
+    import jax.numpy as jnp
+    ours = np.asarray(forward(params, cfg, jnp.asarray(x[None]),
+                              jnp.asarray(h[None]), jnp.asarray(d[None])))
+    np.testing.assert_allclose(ours[0, -batch_length:], oracle,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_converted_forward_matches_oracle_varying_d():
+    cfg = make_cfg()
+    rng = np.random.default_rng(1)
+    sd = make_state_dict(cfg, rng)
+    params = convert_state_dict(sd, cfg)
+    up = cfg.upsampling_factor
+    F_frames = 10
+    T = F_frames * up
+    # frame-constant d with non-half-tie values (avoid round-mode edge)
+    d_frames = rng.uniform(1.2, 2.8, size=F_frames)
+    d = np.repeat(d_frames, up).astype(np.float32)
+    maxd = int(np.ceil(d.max()))
+    rf = sum(cfg.dilationsF) + sum(cfg.dilationsA) * maxd + 1
+    batch_length = T - rf
+    x = rng.integers(0, cfg.n_quantize, size=T).astype(np.int32)
+    h = rng.normal(size=(F_frames, cfg.n_aux)).astype(np.float32)
+    oracle = reference_forward_oracle(sd, cfg, x, h, d)
+    import jax.numpy as jnp
+    ours = np.asarray(forward(params, cfg, jnp.asarray(x[None]),
+                              jnp.asarray(h[None]), jnp.asarray(d[None])))
+    np.testing.assert_allclose(ours[0, -batch_length:], oracle,
+                               rtol=2e-4, atol=2e-4)
