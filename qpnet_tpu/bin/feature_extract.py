@@ -35,6 +35,8 @@ def get_arguments(argv=None):
     parser.add_argument("--waveforms", required=True, type=str)
     parser.add_argument("--feature_dir", default=None, type=str)
     parser.add_argument("--feature_type", default="world", choices=["world"])
+    parser.add_argument("--f0_analyzer", default="harvest",
+                        choices=["harvest", "dio"])
     parser.add_argument("--feature_format", default="h5", type=str)
     parser.add_argument("--fs", default=22050, type=int)
     parser.add_argument("--shiftms", default=5.0, type=float)
@@ -84,7 +86,7 @@ def world_feature_extract(wav_list, args):
     (reference feature_extract.py:276-361)."""
     analyzer = WorldAnalyzer(fs=args.fs, shiftms=args.shiftms,
                              minf0=args.minf0, maxf0=args.maxf0,
-                             fftl=args.fftl)
+                             fftl=args.fftl, f0_analyzer=args.f0_analyzer)
     for i, wav_name in enumerate(wav_list):
         feat_name = _feat_name(wav_name, args)
         if check_hdf5(feat_name, "/world") and not args.overwrite:

@@ -16,6 +16,7 @@ Public surface mirrors what the reference actually uses:
 """
 
 from qpnet_tpu.dsp.world.dio import dio  # noqa: F401
+from qpnet_tpu.dsp.world.harvest import harvest  # noqa: F401
 from qpnet_tpu.dsp.world.stonemask import stonemask  # noqa: F401
 from qpnet_tpu.dsp.world.cheaptrick import cheaptrick  # noqa: F401
 from qpnet_tpu.dsp.world.d4c import d4c  # noqa: F401

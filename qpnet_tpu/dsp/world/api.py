@@ -22,6 +22,7 @@ from qpnet_tpu.dsp.world.cheaptrick import cheaptrick
 from qpnet_tpu.dsp.world.codec import code_aperiodicity
 from qpnet_tpu.dsp.world.d4c import d4c
 from qpnet_tpu.dsp.world.dio import dio
+from qpnet_tpu.dsp.world.harvest import harvest
 from qpnet_tpu.dsp.world.stonemask import stonemask
 from qpnet_tpu.dsp.world.synthesis import synthesize
 
@@ -29,7 +30,8 @@ from qpnet_tpu.dsp.world.synthesis import synthesize
 class WorldAnalyzer:
     def __init__(self, fs: int = 22050, shiftms: float = 5.0,
                  minf0: float = 40.0, maxf0: float = 800.0,
-                 fftl: int = 1024):
+                 fftl: int = 1024, f0_analyzer: str = "harvest"):
+        self.f0_analyzer = f0_analyzer  # "harvest" (sprocket default) | "dio"
         self.fs = fs
         self.shiftms = shiftms
         self.minf0 = minf0
@@ -43,9 +45,15 @@ class WorldAnalyzer:
     def analyze(self, x: np.ndarray
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         x = np.asarray(x, np.float64)
-        f0, time_axis = dio(x, self.fs, f0_floor=self.minf0,
-                            f0_ceil=self.maxf0, frame_period=self.shiftms)
-        f0 = stonemask(x, f0, time_axis, self.fs)
+        if self.f0_analyzer == "harvest":
+            f0, time_axis = harvest(x, self.fs, f0_floor=self.minf0,
+                                    f0_ceil=self.maxf0,
+                                    frame_period=self.shiftms)
+        else:
+            f0, time_axis = dio(x, self.fs, f0_floor=self.minf0,
+                                f0_ceil=self.maxf0,
+                                frame_period=self.shiftms)
+            f0 = stonemask(x, f0, time_axis, self.fs)
         spc = cheaptrick(x, f0, time_axis, self.fs, fft_size=self.fftl,
                          f0_floor=max(self.minf0, 71.0 * 1024 / self.fftl))
         ap = d4c(x, f0, time_axis, self.fs, fft_size=self.fftl)

@@ -174,3 +174,33 @@ class TestSynthesis:
         assert voiced.mean() > 0.5
         rel = np.abs(f0y[: len(f0)][voiced] - f0[voiced]) / f0[voiced]
         assert np.median(rel) < 0.05
+
+
+class TestHarvest:
+    def test_constant_and_gliding_pitch(self):
+        from qpnet_tpu.dsp.world import harvest
+        for a, b in [(120.0, 120.0), (100.0, 200.0), (70.0, 70.0)]:
+            x = sawtooth(a, 0.6, f0_end=b)
+            f0, ta = harvest(x, FS, f0_floor=60, f0_ceil=400)
+            v = f0 > 0
+            assert v.mean() > 0.9, (a, b, v.mean())
+            truth = np.linspace(a, b, len(f0))
+            err = np.abs(f0[v] - truth[v]) / truth[v]
+            assert np.median(err) < 0.01, (a, b, np.median(err))
+
+    def test_noise_mostly_unvoiced(self):
+        from qpnet_tpu.dsp.world import harvest
+        rng = np.random.default_rng(5)
+        f0, _ = harvest(rng.normal(size=FS // 2), FS,
+                        f0_floor=60, f0_ceil=400)
+        assert (f0 > 0).mean() < 0.35
+
+    def test_analyzer_selection(self):
+        x = sawtooth(150.0, 0.5)
+        for analyzer in ("harvest", "dio"):
+            an = WorldAnalyzer(fs=FS, minf0=60, maxf0=400, fftl=1024,
+                               f0_analyzer=analyzer)
+            f0, sp, ap = an.analyze(x)
+            v = f0 > 0
+            assert v.mean() > 0.5, analyzer
+            assert abs(np.median(f0[v]) - 150.0) < 6.0, analyzer
