@@ -330,7 +330,8 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
                         compute_dtype=jnp.bfloat16,
                         quantize: str = "none",
                         engine: str = "auto",
-                        interpret: bool = False) -> List[np.ndarray]:
+                        interpret: bool = False,
+                        mesh=None) -> List[np.ndarray]:
     """Batch AR synthesis — same contract as reference qpnet.py:314-559.
 
     Args:
@@ -359,7 +360,7 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
                    constant_values=1.0)[:, :n_steps]
 
     use_pallas = (engine == "pallas"
-                  or (engine == "auto"
+                  or (engine == "auto" and mesh is None
                       and pallas_engine_available(cfg, B, maxd)))
     if use_pallas:
         samples = _pallas_path(params, cfg, np.asarray(x_seed, np.int32),
@@ -368,11 +369,22 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
         return [samples[i, : n] for i, n in enumerate(n_samples_list)]
 
     key = jax.random.PRNGKey(seed)
+    x_in = jnp.asarray(x_seed, jnp.int32)
+    h_in = jnp.asarray(h, jnp.float32)
+    d_in = jnp.asarray(d_gen, jnp.float32)
+    if mesh is not None:
+        # multi-chip decode: each utterance's AR chain is independent, so
+        # the batch shards over the dp axis with replicated params — the
+        # mesh-native form of the reference's per-GPU process fan-out
+        # (qpnet_decode.py:322-331)
+        from qpnet_tpu.parallel import batch_sharding, replicated_sharding
+        repl = replicated_sharding(mesh)
+        params = jax.device_put(params, repl)
+        x_in = jax.device_put(x_in, batch_sharding(mesh, 2))
+        h_in = jax.device_put(h_in, batch_sharding(mesh, 3))
+        d_in = jax.device_put(d_in, batch_sharding(mesh, 2))
     samples = _generate_scan(
-        params, cfg,
-        jnp.asarray(x_seed, jnp.int32),
-        jnp.asarray(h, jnp.float32),
-        jnp.asarray(d_gen, jnp.float32),
+        params, cfg, x_in, h_in, d_in,
         key, n_steps=n_steps, maxd=maxd, mode=mode,
         compute_dtype=compute_dtype, quantize=quantize)
     samples = np.asarray(jax.device_get(samples))
