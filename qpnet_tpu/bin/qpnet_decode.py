@@ -46,7 +46,13 @@ def get_arguments(argv=None):
                              "path is already the fast path)")
     parser.add_argument("--intervals", default=1000, type=int)
     parser.add_argument("--seed", default=100, type=int)
-    parser.add_argument("--n_gpus", default=1, type=int)
+    parser.add_argument("--n_gpus", default=1, type=int,
+                        help="accepted for CLI parity")
+    parser.add_argument("--n_devices", default=1, type=int,
+                        help="shard the utterance batch over this many "
+                             "devices (dp mesh); 1 = single chip")
+    parser.add_argument("--engine", default="auto",
+                        choices=["auto", "pallas", "xla"])
     parser.add_argument("--verbose", default=1, type=int)
     parser.add_argument("--f0_factor", default=1.0, type=float)
     parser.add_argument("--f0_dim_index", default=1, type=int)
@@ -128,13 +134,18 @@ def main(argv=None):
     ckpt = load_checkpoint(args.checkpoint)
     params = jax.tree_util.tree_map(jnp.asarray, ckpt["model"])
     scaler = load_scaler(args.stats, run_cfg.feature_type)
+    mesh = None
+    if args.n_devices > 1:
+        from qpnet_tpu.parallel import make_mesh
+        mesh = make_mesh(args.n_devices)
+        logging.info("decoding over a %d-device mesh", args.n_devices)
 
     for feat_ids, x, h, n_samples, d in decode_batches(
             feat_list, run_cfg, args, scaler):
         logging.info("decoding start! (batch of %d)", len(feat_ids))
         samples_list = batch_fast_generate(
             params, cfg, x, h, n_samples, d,
-            seed=args.seed, mode=args.mode)
+            seed=args.seed, mode=args.mode, engine=args.engine, mesh=mesh)
         for feat_id, samples in zip(feat_ids, samples_list):
             wav = decode_mu_law(samples, cfg.n_quantize)
             wav_filename = args.outdir.replace("feat_id", feat_id)
