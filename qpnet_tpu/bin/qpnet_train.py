@@ -43,7 +43,9 @@ def get_arguments(argv=None):
     parser.add_argument("--checkpoint_interval", default=10000, type=int)
     parser.add_argument("--intervals", default=100, type=int)
     parser.add_argument("--seed", default=1, type=int)
-    parser.add_argument("--resume", default=None, nargs="?", type=str)
+    parser.add_argument("--resume", default=None, nargs="?", type=str,
+                        help="checkpoint path, or 'auto' to resume from "
+                             "the newest checkpoint in expdir")
     parser.add_argument("--n_gpus", default=1, type=int,
                         help="accepted for CLI parity; device parallelism "
                              "comes from the JAX mesh")

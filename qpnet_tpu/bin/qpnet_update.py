@@ -67,6 +67,12 @@ def main(argv=None):
     run_training(cfg, tcfg, wav_list, feat_list, args.stats, args.expdir,
                  feature_type=run_cfg.feature_type,
                  resume=resume, pretrain=args.pretrain)
+    # persist the network config alongside the SD checkpoints so the SD
+    # expdir is self-contained for decode/validate (the reference reuses
+    # the SI model.conf path implicitly via runQP)
+    sd_conf = os.path.join(args.expdir, "model.conf")
+    if os.path.abspath(sd_conf) != os.path.abspath(args.config):
+        run_cfg.save(sd_conf)
 
 
 if __name__ == "__main__":

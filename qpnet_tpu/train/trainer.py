@@ -49,6 +49,17 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
     iterations = 0
     loss_record = []
     flossyml = os.path.join(expdir, "loss-final.yml")
+    if resume == "auto":
+        # crash-stop recovery: pick up from the newest checkpoint, if any
+        import re
+        cands = []
+        for name in os.listdir(expdir) if os.path.isdir(expdir) else []:
+            m = re.fullmatch(r"checkpoint-(\d+)\.pkl", name)
+            if m:
+                cands.append((int(m.group(1)), name))
+        resume = (os.path.join(expdir, max(cands)[1]) if cands else None)
+        if resume:
+            logging.info("autoresume from %s", resume)
     if resume and os.path.exists(resume):
         ckpt = load_checkpoint(resume)
         params = jax.tree_util.tree_map(jnp.asarray, ckpt["model"])

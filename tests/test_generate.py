@@ -145,3 +145,38 @@ def test_generate_unequal_lengths():
     x_seed = np.full((B, 1), cfg.n_quantize // 2, np.int32)
     outs = batch_fast_generate(params, cfg, x_seed, h, n_samples, d)
     assert [len(o) for o in outs] == n_samples
+
+
+def test_forward_equals_generate_deep_network():
+    """The Rd10Rr3Ed4Er1-style deep fixed stack (dilations to 2^9) keeps
+    the cache-equivalence property."""
+    cfg = ModelConfig(n_quantize=32, n_aux=4, n_resch=8, n_skipch=8,
+                      dilationF_depth=6, dilationF_repeat=1,
+                      dilationA_depth=3, dilationA_repeat=1,
+                      kernel_size=2, upsampling_factor=5)
+    params = init_params(jax.random.PRNGKey(9), cfg)
+    rng = np.random.default_rng(9)
+    B, n_frames, up = 1, 40, cfg.upsampling_factor
+    n_steps = n_frames * up - 1
+    h = rng.normal(size=(B, n_frames, cfg.n_aux)).astype(np.float32)
+    d = np.full((B, n_frames * up), 1.9, np.float32)
+    x_seed = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+    outs = batch_fast_generate(params, cfg, x_seed, h, [n_steps] * B, d,
+                               mode="argmax", compute_dtype=jnp.float32)
+    maxd = bucket_maxd(2.0)
+    rf = cfg.receptiveF + cfg.receptiveA * maxd + cfg.receptive_causal
+    samples = np.stack(outs)
+    x_full = np.concatenate([
+        np.full((B, rf), cfg.n_quantize // 2, np.int32), x_seed,
+        samples[:, :-1]], axis=1)
+    from qpnet_tpu.models.qpnet import upsample_aux
+    h_up_real = np.asarray(upsample_aux(params, jnp.asarray(h), up))
+    h_up_full = np.concatenate([
+        np.repeat(h_up_real[:, :1], rf, axis=1),
+        h_up_real[:, :n_steps]], axis=1)
+    d_full = np.concatenate([np.ones((B, rf), np.float32),
+                             d[:, :n_steps]], axis=1)
+    logits = forward(params, cfg, jnp.asarray(x_full), None,
+                     jnp.asarray(d_full), h_up=jnp.asarray(h_up_full))
+    pred = np.asarray(jnp.argmax(logits, axis=-1))
+    np.testing.assert_array_equal(pred[:, rf: rf + n_steps], samples)
