@@ -53,6 +53,7 @@ def noise_restore(feat_ids, args):
                              fftl=args.fftl)
     synthesizer = WorldSynthesizer(fs=args.fs, shiftms=args.shiftms,
                                    fftl=args.fftl)
+    base_coef = read_hdf5(args.stats, "/%s/mean" % args.feature_type)
     for i, feat_id in enumerate(feat_ids):
         logging.info("now processing %s (%d/%d)", feat_id, i + 1,
                      len(feat_ids))
@@ -65,8 +66,7 @@ def noise_restore(feat_ids, args):
             sys.exit(1)
         f0, _, _ = analyzer.analyze(x)
         num_frames = f0.shape[0]
-        mlsa_coef = read_hdf5(args.stats, "/%s/mean" % args.feature_type)
-        mlsa_coef = mlsa_coef[args.mcep_dim_start: args.mcep_dim_end] * args.mag
+        mlsa_coef = base_coef[args.mcep_dim_start: args.mcep_dim_end] * args.mag
         mlsa_coef[0] = 0.0
         if args.inv:
             mlsa_coef[1:] = -1.0 * mlsa_coef[1:]

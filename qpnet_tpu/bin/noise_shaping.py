@@ -58,6 +58,7 @@ def noise_shaping(wav_list, wav_set, args):
                              fftl=args.fftl)
     synthesizer = WorldSynthesizer(fs=args.fs, shiftms=args.shiftms,
                                    fftl=args.fftl)
+    base_coef = read_hdf5(args.stats, "/%s/mean" % args.feature_type)
     for i, wav_name in enumerate(wav_list):
         logging.info("now processing %s (%d/%d)", wav_name, i + 1,
                      len(wav_list))
@@ -70,8 +71,7 @@ def noise_shaping(wav_list, wav_set, args):
         # frame count from F0 analysis (reference noise_shaping.py:118-120)
         f0, _, _ = analyzer.analyze(x)
         num_frames = f0.shape[0]
-        mlsa_coef = read_hdf5(args.stats, "/%s/mean" % args.feature_type)
-        mlsa_coef = mlsa_coef[args.mcep_dim_start: args.mcep_dim_end] * args.mag
+        mlsa_coef = base_coef[args.mcep_dim_start: args.mcep_dim_end] * args.mag
         mlsa_coef[0] = 0.0
         if args.inv:
             mlsa_coef[1:] = -1.0 * mlsa_coef[1:]

@@ -29,24 +29,34 @@ from qpnet_tpu.ops import encode_mu_law, extend_time, dilated_factor, batch_f0
 
 
 class BackgroundGenerator(threading.Thread):
-    """Prefetch a generator in a daemon thread (reference utils.py:165-214)."""
+    """Prefetch a generator in a daemon thread (reference utils.py:165-214).
+
+    Worker exceptions are captured and re-raised from next() — a corrupt
+    feature file must surface its real traceback, not a bare StopIteration.
+    """
 
     def __init__(self, generator, max_prefetch: int = 2):
         super().__init__(daemon=True)
         self.queue: "queue.Queue" = queue.Queue(max_prefetch)
         self.generator = generator
+        self._error = None
         self.start()
 
     def run(self):
         try:
             for item in self.generator:
                 self.queue.put(item)
+        except BaseException as e:  # noqa: BLE001 - includes SystemExit
+            self._error = e
         finally:
             self.queue.put(None)
 
     def next(self):
         item = self.queue.get()
         if item is None:
+            if self._error is not None:
+                raise RuntimeError(
+                    "data pipeline worker failed") from self._error
             raise StopIteration
         return item
 

@@ -35,7 +35,10 @@ class Scaler:
 
     @property
     def scale_(self) -> np.ndarray:
-        return np.sqrt(self.m2_ / self.n)
+        s = np.sqrt(self.m2_ / self.n)
+        # sklearn's _handle_zeros_in_scale: constant dims scale by 1, not 0
+        s[s == 0.0] = 1.0
+        return s
 
     def transform(self, x: np.ndarray) -> np.ndarray:
         return (x - self.mean_) / self.scale_

@@ -50,13 +50,9 @@ def _band_lowpass(x: np.ndarray, fs: int, boundary_f0: float) -> np.ndarray:
 
 
 def _event_times(sig: np.ndarray, fs: int, kind: str) -> np.ndarray:
-    """Times (s) of events: negative/positive-going zero crossings or
-    peaks/dips (zero crossings of the derivative)."""
-    if kind in ("peak", "dip"):
-        sig = np.diff(sig)
-        sig = -sig if kind == "peak" else sig
-        kind = "negzc" if kind == "negzc" else "poszc"
-        # peaks: derivative goes + -> -  == negative-going zc of derivative
+    """Times (s) of zero-crossing events ("negzc"/"poszc").  Peak/dip
+    events are derived by the callers from the derivative signal with a
+    +0.5-sample offset (the derivative lives between samples)."""
     s0, s1 = sig[:-1], sig[1:]
     if kind == "poszc":
         idx = np.where((s0 < 0) & (s1 >= 0))[0]

@@ -201,6 +201,9 @@ def _generate_scan(params: Params, cfg: ModelConfig,
             read_slot = jax.lax.rem(t - r + size, size)  # (B,)
             past = jnp.take_along_axis(
                 buf, read_slot[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+            # r==0 means "current sample" in the teacher-forced gather
+            # (idx = t - 0); the ring holds only past values, so select o
+            past = jnp.where((r == 0)[:, None], o, past)
             slot = jax.lax.rem(t, size)
             z = (_wmatmul(jnp.concatenate([o, past], axis=-1), p, "W_in",
                           compute_dtype)
@@ -237,10 +240,12 @@ def _generate_scan(params: Params, cfg: ModelConfig,
 
 def _prime_ring_buffers(params: Params, cfg: ModelConfig,
                         x_seed: np.ndarray, h0_up: np.ndarray,
-                        maxd: int, compute_dtype):
-    """Teacher-forced priming pass shared by both engines; returns
-    (bufsF, bufsA) stacked into the pallas layout (n_layers, max_size, B, R)
-    plus the per-layer ring lists for the XLA path."""
+                        maxd: int, compute_dtype, t0: int):
+    """Teacher-forced priming pass shared by both engines; returns per-layer
+    ring buffers laid out for a consumer whose first step is time `t0`
+    (the XLA scan counts absolute time from rf; the pallas kernel counts
+    from 0 — rolling for the wrong origin misplaces the primed history
+    whenever rf % size != 0)."""
     B = x_seed.shape[0]
     rf = cfg.receptiveF + cfg.receptiveA * maxd + cfg.receptive_causal
     h_up_ctx = jnp.broadcast_to(jnp.asarray(h0_up)[:, None, :],
@@ -250,8 +255,11 @@ def _prime_ring_buffers(params: Params, cfg: ModelConfig,
                               h_up_ctx, d_ctx, compute_dtype)
     sizesF = list(cfg.dilationsF)
     sizesA = [maxd * dil for dil in cfg.dilationsA]
-    bufsF = [_ring_from_tail(acts[i], s, rf) for i, s in enumerate(sizesF)]
-    bufsA = [_ring_from_tail(acts[len(sizesF) + i], s, rf)
+    # tail act[:, rf-size:rf] holds times t0-size..t0-1; slot of time tau
+    # is tau mod size == (j + t0) mod size for tail index j
+    bufsF = [jnp.roll(acts[i][:, rf - s: rf], t0, axis=1)
+             for i, s in enumerate(sizesF)]
+    bufsA = [jnp.roll(acts[len(sizesF) + i][:, rf - s: rf], t0, axis=1)
              for i, s in enumerate(sizesA)]
     return bufsF, bufsA
 
@@ -272,7 +280,7 @@ def _pallas_device_path(params, cfg, x_seed, h_pad, d_frames, seed,
     packed = pack_weights(params, cfg, quantize)
     h0_up = h_pad[0, :, :A] * params["up_w"][0] + params["up_b"]
     bufsF, bufsA = _prime_ring_buffers(params, cfg, x_seed, h0_up, maxd,
-                                       jnp.float32)
+                                       jnp.float32, t0=0)
     bufF0 = jnp.concatenate(
         [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsF], axis=0)
     bufA0 = jnp.concatenate(

@@ -208,6 +208,11 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                     past = past + jnp.sum(
                         bufA[offA[la] + c0: offA[la] + c0 + chunk, :, :]
                         * m3, axis=0)
+                # r==0 -> current sample (teacher-forced idx = t - 0);
+                # blend with an f32 mask (bool minor-dim inserts are
+                # unsupported by Mosaic)
+                m0 = (r == 0).astype(jnp.float32)[:, None]
+                past = m0 * o.astype(jnp.float32) + (1.0 - m0) * past
             xin = jnp.concatenate([o, past.astype(bf16)], axis=-1)
             if quantize == "int8":
                 z_main = mmq(xin.astype(jnp.float32), W_in_ref[l],

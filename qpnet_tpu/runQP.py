@@ -108,12 +108,11 @@ def main(argv=None):
                  [corpus_dir, synonym_wavtype, ".wav"])
         return aux_feats, waveforms
 
-    aux_feats, waveforms = _get_list(scp_dir + args.auxlist,
-                                     scp_dir + args.wavlist,
-                                     model_version, "training")
-
-    # STEP 1: SI training
+    # STEP 1: SI training (temp lists built only when consumed)
     if steps[1]:
+        aux_feats, waveforms = _get_list(scp_dir + args.auxlist,
+                                         scp_dir + args.wavlist,
+                                         model_version, "training")
         resume = (expdir + f"checkpoint-{args.resume}.pkl"
                   if args.resume else "None")
         if resume != "None":

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Any, Optional, Tuple
 
 import jax
 import numpy as np
@@ -43,17 +42,3 @@ def save_final(checkpoint_dir: str, params) -> str:
 def load_checkpoint(path: str) -> dict:
     with open(path, "rb") as f:
         return pickle.load(f)
-
-
-def restore_state(path: str, template_opt_state=None
-                  ) -> Tuple[Any, Optional[Any], int]:
-    """Returns (params, opt_state_or_None, iterations)."""
-    ckpt = load_checkpoint(path)
-    params = ckpt["model"]
-    opt_state = ckpt.get("optimizer")
-    if opt_state is not None and template_opt_state is not None:
-        # restore the original pytree structure (pickle keeps it, but guard
-        # against structure drift between versions)
-        flat, _ = jax.tree_util.tree_flatten(opt_state)
-        _, treedef = jax.tree_util.tree_flatten(template_opt_state)
-    return params, opt_state, int(ckpt.get("iterations", 0))

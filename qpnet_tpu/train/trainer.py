@@ -60,6 +60,10 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
         resume = (os.path.join(expdir, max(cands)[1]) if cands else None)
         if resume:
             logging.info("autoresume from %s", resume)
+    if resume and not os.path.exists(resume):
+        raise FileNotFoundError(
+            f"--resume checkpoint {resume} does not exist (refusing to "
+            f"silently restart from scratch)")
     if resume and os.path.exists(resume):
         ckpt = load_checkpoint(resume)
         params = jax.tree_util.tree_map(jnp.asarray, ckpt["model"])
@@ -93,10 +97,18 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
 
     loss_sum, total_t = 0.0, 0.0
     logging.info("training start!")
+    if mesh is not None:
+        from qpnet_tpu.parallel import shard_batch
+
     for i in range(iterations, tcfg.iters):
         start = time.time()
         batch_np = generator.next()
-        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        if mesh is not None:
+            batch = shard_batch(
+                mesh, {k: v for k, v in batch_np.items() if np.ndim(v) > 0})
+            batch["valid_len"] = jnp.asarray(batch_np["valid_len"])
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         state, loss = step_fn(state, batch)
         loss_sum += float(loss)
         total_t += time.time() - start

@@ -60,3 +60,27 @@ def test_pallas_sampling_runs_and_is_deterministic():
     b = batch_fast_generate(params, cfg, x0, h, [n] * B, d, seed=9,
                             engine="pallas", interpret=True)
     np.testing.assert_array_equal(np.stack(a), np.stack(b))
+
+
+@pytest.mark.slow
+def test_pallas_matches_xla_with_real_seed_history():
+    """Priming with a non-constant seed history (the continuation-decode
+    case) must agree between engines from the very first sample — guards
+    the ring-slot time-origin convention."""
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(4)
+    B, F = 2, 16
+    up = cfg.upsampling_factor
+    n = F * up - 1
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.full((B, F * up), 2.3, np.float32)
+    x_seed = rng.integers(0, cfg.n_quantize, size=(B, 40)).astype(np.int32)
+    a = batch_fast_generate(params, cfg, x_seed, h, [n] * B, d,
+                            mode="argmax", compute_dtype=jnp.float32,
+                            engine="xla")
+    b = batch_fast_generate(params, cfg, x_seed, h, [n] * B, d,
+                            mode="argmax", engine="pallas", interpret=True)
+    A, Bm = np.stack(a), np.stack(b)
+    assert (A[:, 0] == Bm[:, 0]).all(), "first sample diverges"
+    assert (A[:, :40] == Bm[:, :40]).mean() > 0.85
