@@ -49,6 +49,9 @@ def get_arguments(argv=None):
     parser.add_argument("--n_gpus", default=1, type=int,
                         help="accepted for CLI parity; device parallelism "
                              "comes from the JAX mesh")
+    parser.add_argument("--n_devices", default=1, type=int,
+                        help="data-parallel over this many devices "
+                             "(batch_size must be divisible by it)")
     parser.add_argument("--pretrain", default=None, nargs="?", type=str,
                         help="weights-only init (the SD-update path)")
     parser.add_argument("--verbose", default=1, type=int)
@@ -112,9 +115,14 @@ def main(argv=None):
     resume = args.resume if args.resume and args.resume != "None" else None
     pretrain = (args.pretrain if args.pretrain and args.pretrain != "None"
                 else None)
+    mesh = None
+    if args.n_devices > 1:
+        from qpnet_tpu.parallel import make_mesh
+        mesh = make_mesh(args.n_devices)
+        assert args.batch_size % args.n_devices == 0,             "batch_size must be divisible by n_devices"
     run_training(cfg, tcfg, wav_list, feat_list, args.stats, args.expdir,
                  feature_type=args.feature_type, resume=resume,
-                 pretrain=pretrain)
+                 pretrain=pretrain, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -164,3 +164,32 @@ def test_eval_step():
     batch = {k: jnp.asarray(v) for k, v in synth_batch(cfg, 2, 100).items()}
     loss = ev(params, batch)
     assert np.isfinite(float(loss))
+
+
+def test_run_training_with_mesh(tmp_path):
+    """run_training(mesh=...) must shard batches over dp and produce the
+    standard checkpoint artifacts."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from helpers import make_synthetic_corpus
+    from qpnet_tpu.config import TrainConfig
+    from qpnet_tpu.data.h5io import write_hdf5, read_hdf5
+    from qpnet_tpu.data.stats import calc_stats
+    from qpnet_tpu.parallel import make_mesh
+    from qpnet_tpu.train.trainer import run_training
+
+    cfg = tiny_cfg()
+    wavs, feats = make_synthetic_corpus(str(tmp_path), n_utts=4, fs=1000,
+                                        up=10, n_aux=4, seconds=2.0)
+    stats = str(tmp_path / "stats.h5")
+    calc_stats(feats, stats)
+    tcfg = TrainConfig(lr=1e-3, iters=6, checkpoint_interval=3,
+                       batch_length=300, batch_size=8, max_length=900,
+                       intervals=3)
+    mesh = make_mesh(8)
+    run_training(cfg, tcfg, wavs, feats, stats, str(tmp_path / "exp"),
+                 mesh=mesh)
+    assert os.path.exists(str(tmp_path / "exp" / "checkpoint-final.pkl"))
+    assert os.path.exists(str(tmp_path / "exp" / "checkpoint-6.pkl"))
+    assert os.path.exists(str(tmp_path / "exp" / "loss-final.yml"))
