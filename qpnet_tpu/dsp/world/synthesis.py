@@ -39,9 +39,19 @@ def _pulse_times(f0: np.ndarray, time_axis: np.ndarray, fs: int,
     return idx, voiced_interp[idx]
 
 
-def _frame_at(time_axis: np.ndarray, t: float) -> int:
-    i = int(np.searchsorted(time_axis, t))
-    return min(max(i, 0), len(time_axis) - 1)
+def _frame_interp(arr: np.ndarray, time_axis: np.ndarray, t: float
+                  ) -> np.ndarray:
+    """Linear interpolation of per-frame spectra at time t (pulse-time
+    envelope interpolation removes frame-boundary steps)."""
+    F = arr.shape[0]
+    pos = t / (time_axis[1] - time_axis[0]) if F > 1 else 0.0
+    i0 = int(np.floor(pos))
+    if i0 >= F - 1:
+        return arr[F - 1]
+    if i0 < 0:
+        return arr[0]
+    w = pos - i0
+    return (1.0 - w) * arr[i0] + w * arr[i0 + 1]
 
 
 def synthesize(f0: np.ndarray, spectrogram: np.ndarray,
@@ -64,9 +74,10 @@ def synthesize(f0: np.ndarray, spectrogram: np.ndarray,
         interval = (pulses[k + 1] - p) if k + 1 < len(pulses) else \
             (pulses[k] - pulses[k - 1] if k > 0 else fftl)
         interval = max(int(interval), 1)
-        fi = _frame_at(time_axis, p / fs)
-        frame_sp = np.maximum(sp[fi], 1e-300)
-        frame_ap = np.clip(ap[fi], 1e-12, 1 - 1e-12)
+        t_pulse = p / fs
+        frame_sp = np.maximum(_frame_interp(sp, time_axis, t_pulse), 1e-300)
+        frame_ap = np.clip(_frame_interp(ap, time_axis, t_pulse),
+                           1e-12, 1 - 1e-12)
         if voiced[k]:
             per_pow = frame_sp * (1.0 - frame_ap ** 2)
             mp = minimum_phase_spectrum(0.5 * safe_log(per_pow))

@@ -35,4 +35,5 @@ def test_copy_synthesis_mcd_small_and_mismatch_large():
                         minf0=60, maxf0=400)
     assert np.isfinite(m_copy["mcd_db"])
     assert m_copy["mcd_db"] < m_bad["mcd_db"]
+    assert m_copy["mcd_db"] < 4.0, m_copy["mcd_db"]  # pyworld-class range
     assert m_copy["f0_rmse_hz"] < 10.0
