@@ -36,7 +36,11 @@ def _load() -> Optional[ctypes.CDLL]:
             os.system(f"make -s -C {os.path.dirname(path)} > /dev/null 2>&1")
     if not os.path.exists(path):
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        # wrong arch / partial build — fall back to the JAX path
+        return None
     lib.qpdsp_mlsa_filter.restype = ctypes.c_int
     lib.qpdsp_mlsa_filter.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,

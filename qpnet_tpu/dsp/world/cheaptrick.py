@@ -84,8 +84,13 @@ def cheaptrick(x: np.ndarray, f0: np.ndarray, time_axis: np.ndarray,
         fft_size = 1 << int(np.ceil(np.log2(3.0 * fs / f0_floor + 1)))
     F = len(f0)
     out = np.zeros((F, fft_size // 2 + 1))
+    # WORLD's fit guarantee: a 3-period window must fit fft_size; frames
+    # below this limit fall back to the default F0 (CheapTrickGeneralBody)
+    f0_low_limit = 3.0 * fs / (fft_size - 3.0)
     for i in range(F):
         cf0 = f0[i] if f0[i] > f0_floor / 2 else DEFAULT_F0
+        if cf0 < f0_low_limit:
+            cf0 = DEFAULT_F0
         ps = _windowed_power_spectrum(x, fs, time_axis[i], cf0, fft_size)
         ps = _linear_smoothing(ps, fs, fft_size, 2.0 * cf0 / 3.0)
         ps = np.maximum(ps, 1e-300)

@@ -29,7 +29,6 @@ def code_aperiodicity(ap: np.ndarray, fs: int) -> np.ndarray:
     """(F, fftl//2+1) aperiodicity in (0,1] -> (F, n_bands) coarse dB."""
     ap = np.atleast_2d(np.asarray(ap, np.float64))
     half = ap.shape[1]
-    fftl = (half - 1) * 2
     bands = band_frequencies(fs)
     idx = np.minimum((bands / (fs / 2.0) * (half - 1)).round().astype(int),
                      half - 1)

@@ -17,12 +17,6 @@ def nuttall(n: int) -> np.ndarray:
             - 0.012604 * np.cos(6 * np.pi * t))
 
 
-def linear_interp_at(x: np.ndarray, y: np.ndarray, xq: np.ndarray
-                     ) -> np.ndarray:
-    """np.interp with linear extrapolation clamped to edges."""
-    return np.interp(xq, x, y)
-
-
 def minimum_phase_spectrum(log_amp_half: np.ndarray) -> np.ndarray:
     """Half log-amplitude spectrum (fftl//2+1,) -> complex minimum-phase
     spectrum of the same length (cepstral method)."""
@@ -32,13 +26,6 @@ def minimum_phase_spectrum(log_amp_half: np.ndarray) -> np.ndarray:
     c[1: fftl // 2] *= 2.0
     c[fftl // 2 + 1:] = 0.0
     return np.exp(np.fft.rfft(c))
-
-
-def frame_time_axis(n_samples: int, fs: int, frame_period_ms: float
-                    ) -> np.ndarray:
-    """WORLD frame count convention: 1 + floor(n / (fs*period))."""
-    n_frames = int(n_samples / (fs * frame_period_ms / 1000.0)) + 1
-    return np.arange(n_frames) * frame_period_ms / 1000.0
 
 
 def safe_log(x: np.ndarray, floor: float = 1e-300) -> np.ndarray:

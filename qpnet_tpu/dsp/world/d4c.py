@@ -48,7 +48,7 @@ def _frame_band_aperiodicity(seg: np.ndarray, period: int) -> float:
 
 
 def d4c(x: np.ndarray, f0: np.ndarray, time_axis: np.ndarray, fs: int,
-        fft_size: int = None, threshold: float = 0.85) -> np.ndarray:
+        fft_size: int = None) -> np.ndarray:
     x = np.asarray(x, np.float64)
     if fft_size is None:
         fft_size = 1 << int(np.ceil(np.log2(3.0 * fs / 71.0 + 1)))
@@ -61,7 +61,6 @@ def d4c(x: np.ndarray, f0: np.ndarray, time_axis: np.ndarray, fs: int,
 
     F = len(f0)
     ap = np.full((F, half), UNVOICED_AP)
-    coarse = np.full((F, n_bands), 0.0)
     for i in range(F):
         if f0[i] <= 0:
             continue
@@ -69,9 +68,7 @@ def d4c(x: np.ndarray, f0: np.ndarray, time_axis: np.ndarray, fs: int,
         center = int(round(time_axis[i] * fs))
         w = 2 * period
         lo_i, hi_i = max(0, center - w), min(len(x), center + w)
-        vals = []
-        for bs in band_signals:
-            vals.append(_frame_band_aperiodicity(bs[lo_i:hi_i], period))
-        coarse[i] = vals
+        vals = [_frame_band_aperiodicity(bs[lo_i:hi_i], period)
+                for bs in band_signals]
         ap[i] = expand_coarse(np.asarray(vals), fs, fft_size)
     return np.clip(ap, FLOOR_AP, UNVOICED_AP)

@@ -123,17 +123,18 @@ def _fix_contour(f0: np.ndarray, frame_period_ms: float,
     edges and erase voiced runs shorter than voice_range_minimum."""
     f0 = f0.copy()
     n = len(f0)
-    # step: kill frames whose neighbors disagree (local discontinuity)
+    # kill frames that jump >allowed_range from either neighbor (the
+    # mask is computed on the pre-mutation contour, applied once)
     prev = np.roll(f0, 1)
     prev[0] = f0[0]
-    jump = np.abs(f0 - prev) / np.maximum(f0, 1e-9)
-    voiced = f0 > 0
-    bad = voiced & (prev > 0) & (jump > allowed_range)
-    # trim discontinuous frames (forward then backward pass)
-    for i in range(1, n):
-        if f0[i] > 0 and f0[i - 1] > 0 and \
-                abs(f0[i] - f0[i - 1]) / f0[i] > allowed_range:
-            f0[i] = 0.0 if bad[i] else f0[i]
+    nxt = np.roll(f0, -1)
+    nxt[-1] = f0[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jump_p = np.abs(f0 - prev) / np.maximum(f0, 1e-9)
+        jump_n = np.abs(f0 - nxt) / np.maximum(f0, 1e-9)
+    bad = (f0 > 0) & (((prev > 0) & (jump_p > allowed_range))
+                      & ((nxt > 0) & (jump_n > allowed_range)))
+    f0[bad] = 0.0
     # remove short voiced runs
     min_frames = max(1, int(round(voice_range_minimum_ms / frame_period_ms)))
     i = 0

@@ -89,7 +89,6 @@ def harvest(x: np.ndarray, fs: int, f0_floor: float = 71.0,
 
     # pool per-frame candidates: best-agreeing channels, deduped by ~5%
     pooled = np.zeros((n_frames, max_candidates))
-    pooled_score = np.zeros((n_frames, max_candidates))
     for t in range(n_frames):
         order = np.argsort(spreads[:, t])
         chosen = []
@@ -106,7 +105,6 @@ def harvest(x: np.ndarray, fs: int, f0_floor: float = 71.0,
                 break
         for k, f in enumerate(chosen):
             pooled[t, k] = f
-            pooled_score[t, k] = 1.0
 
     # instantaneous-frequency refinement + stability score
     refined = np.zeros_like(pooled)

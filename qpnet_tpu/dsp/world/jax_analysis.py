@@ -44,8 +44,13 @@ def jax_cheaptrick(x: jnp.ndarray, f0: jnp.ndarray, time_axis: jnp.ndarray,
     f0 = jnp.asarray(f0, jnp.float32)
     half = fft_size // 2
     cf0 = jnp.where(f0 > f0_floor / 2, f0, DEFAULT_F0)
-    max_hw = int(1.5 * fs / (f0_floor / 2) + 1)  # static window slot
-    win_len = 2 * max_hw + 1
+    # WORLD's fit guarantee: below f0_low_limit the 3-period window cannot
+    # fit fft_size (rfft would silently crop it) -> default F0, like the
+    # host path
+    f0_low_limit = 3.0 * fs / (fft_size - 3.0)
+    cf0 = jnp.where(cf0 < f0_low_limit, DEFAULT_F0, cf0)
+    # static window slot sized to the guaranteed-fit maximum
+    max_hw = (fft_size - 3) // 2
     centers = jnp.round(time_axis * fs).astype(jnp.int32)
 
     def frame_ps(center, cf):

@@ -47,3 +47,26 @@ def test_jax_cheaptrick_matches_numpy():
     err = np.abs(ref_db - got_db)
     assert np.median(err) < 0.5, np.median(err)
     assert err.mean() < 1.5, err.mean()
+
+
+def test_jax_cheaptrick_default_config_low_pitch():
+    """Regression: at the framework defaults (22.05 kHz, fftl=1024) low-F0
+    frames must not have their analysis window cropped by the FFT — both
+    paths fall back to the WORLD f0_low_limit convention and must agree."""
+    fs = 22050
+    rng = np.random.default_rng(3)
+    n = int(0.4 * fs)
+    t = np.arange(n) / fs
+    f0v = 55.0  # below 3*fs/(1024-3) ~ 64.8 Hz
+    x = sum(0.85 ** k * np.sin(2 * np.pi * f0v * (k + 1) * t)
+            for k in range(20)) * 4000
+    F = int(n / (fs * 0.005)) + 1
+    f0 = np.full(F, f0v)
+    ta = np.arange(F) * 0.005
+    ref = cheaptrick(x, f0, ta, fs, fft_size=1024)
+    got = np.asarray(jax_cheaptrick(x, f0, ta, fs, fft_size=1024))
+    floor = ref.max() * 1e-9
+    ref_db = 10 * np.log10(np.maximum(ref[4:-4], floor))
+    got_db = 10 * np.log10(np.maximum(got[4:-4], floor))
+    err = np.abs(ref_db - got_db)
+    assert err.mean() < 2.0, err.mean()
