@@ -34,19 +34,42 @@ def _low_cut_fft(x: np.ndarray, fs: int, cutoff: float = 50.0) -> np.ndarray:
     return np.fft.irfft(X * gain, fftl)[:n]
 
 
+class _SpectrumCache:
+    """One forward FFT of the signal shared across all candidate bands.
+
+    The per-band low-pass is a frequency-domain multiply; recomputing
+    rfft(x) for each of up to ~84 harvest channels dominated analysis cost.
+    The cache uses a single padded length covering the longest filter.
+    """
+
+    def __init__(self, x: np.ndarray, fs: int, min_boundary_f0: float):
+        max_filter_half = int(round(fs / min_boundary_f0 / 2.0))
+        self.n = len(x)
+        self.fftl = next_pow2(self.n + 2 * max_filter_half + 1)
+        self.X = np.fft.rfft(x, self.fftl)
+        self.fs = fs
+
+    def band_lowpass(self, boundary_f0: float) -> np.ndarray:
+        filter_length_half = int(round(self.fs / boundary_f0 / 2.0))
+        w = nuttall(filter_length_half * 2 + 1)
+        t = np.arange(-filter_length_half, filter_length_half + 1)
+        lpf = np.sinc(2 * boundary_f0 * t / self.fs) * w
+        lpf /= lpf.sum()
+        # zero-phase response of the centered (symmetric) filter is real
+        # and smooth: evaluate on a coarse FFT grid and interpolate to the
+        # signal grid — a full-length filter FFT per band dominated cost
+        coarse = max(8192, next_pow2(len(lpf) * 2))
+        Hc = np.fft.rfft(np.roll(np.concatenate(
+            [lpf, np.zeros(coarse - len(lpf))]), -filter_length_half)).real
+        fc = np.linspace(0.0, 0.5, len(Hc))
+        fx = np.linspace(0.0, 0.5, self.fftl // 2 + 1)
+        H0 = np.interp(fx, fc, Hc)
+        return np.fft.irfft(self.X * H0, self.fftl)[: self.n]
+
+
 def _band_lowpass(x: np.ndarray, fs: int, boundary_f0: float) -> np.ndarray:
-    """Zero-phase Nuttall FIR low-pass with cutoff = boundary_f0 (the WORLD
-    GetFilteredSignal: filter length = fs / boundary_f0 / 2 rounded, applied
-    in the FFT domain)."""
-    filter_length_half = int(round(fs / boundary_f0 / 2.0))
-    w = nuttall(filter_length_half * 2 + 1)
-    t = np.arange(-filter_length_half, filter_length_half + 1)
-    lpf = np.sinc(2 * boundary_f0 * t / fs) * w
-    lpf /= lpf.sum()
-    n = len(x)
-    fftl = next_pow2(n + len(lpf))
-    y = np.fft.irfft(np.fft.rfft(x, fftl) * np.fft.rfft(lpf, fftl), fftl)
-    return y[filter_length_half: filter_length_half + n]
+    """Single-band convenience wrapper around _SpectrumCache."""
+    return _SpectrumCache(x, fs, boundary_f0).band_lowpass(boundary_f0)
 
 
 def _event_times(sig: np.ndarray, fs: int, kind: str) -> np.ndarray:
@@ -166,8 +189,9 @@ def dio(x: np.ndarray, fs: int, f0_floor: float = 71.0,
                                        / channels_in_octave))
     cands = np.zeros((n_bands, n_frames))
     rels = np.full((n_bands, n_frames), np.inf)
+    cache = _SpectrumCache(xlc, fs, float(boundary_f0s[0]))
     for b, bf0 in enumerate(boundary_f0s):
-        xb = _band_lowpass(xlc, fs, bf0)
+        xb = cache.band_lowpass(bf0)
         cands[b], rels[b] = _band_candidate(
             xb, fs, bf0, f0_floor, f0_ceil, time_axis)
 

@@ -26,16 +26,17 @@ from typing import Tuple
 import numpy as np
 
 from qpnet_tpu.dsp.world.dio import (
-    _band_lowpass, _event_times, _interval_f0_track, _low_cut_fft,
+    _SpectrumCache, _event_times, _interval_f0_track, _low_cut_fft,
 )
 from qpnet_tpu.dsp.world.stonemask import _refine_frame
 
 
-def _channel_candidates(x: np.ndarray, fs: int, boundary_f0: float,
+def _channel_candidates(cache: "_SpectrumCache", fs: int,
+                        boundary_f0: float,
                         f0_floor: float, f0_ceil: float,
                         frame_times: np.ndarray):
     """One channel's per-frame candidate + agreement score."""
-    xb = _band_lowpass(x, fs, boundary_f0)
+    xb = cache.band_lowpass(boundary_f0)
     tracks = []
     for kind in ("negzc", "poszc"):
         tracks.append(_interval_f0_track(_event_times(xb, fs, kind),
@@ -83,9 +84,10 @@ def harvest(x: np.ndarray, fs: int, f0_floor: float = 71.0,
                                     / channels_in_octave)
     cands = np.zeros((n_ch, n_frames))
     spreads = np.full((n_ch, n_frames), np.inf)
+    cache = _SpectrumCache(xlc, fs, float(boundaries[0]))
     for c, bf in enumerate(boundaries):
         cands[c], spreads[c] = _channel_candidates(
-            xlc, fs, bf, f0_floor, f0_ceil, time_axis)
+            cache, fs, bf, f0_floor, f0_ceil, time_axis)
 
     # pool per-frame candidates: best-agreeing channels, deduped by ~5%
     pooled = np.zeros((n_frames, max_candidates))
