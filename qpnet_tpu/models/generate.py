@@ -290,7 +290,7 @@ def _pallas_device_path(params, cfg, x_seed, h_pad, d_frames, seed,
         packed, cfg, bufF0, bufA0, x0,
         h_pad.astype(jnp.bfloat16), d_frames, seed,
         B=B, maxd=maxd, n_steps=n_steps, mode=mode, interpret=interpret,
-        quantize=quantize)
+        quantize=quantize)[0]
 
 
 def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
@@ -397,3 +397,82 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
         compute_dtype=compute_dtype, quantize=quantize)
     samples = np.asarray(jax.device_get(samples))
     return [samples[i, : n] for i, n in enumerate(n_samples_list)]
+
+
+class StreamingGenerator:
+    """Chunked low-latency generation with carried ring state.
+
+    One kernel compile serves ANY output length: each `feed()` call
+    generates exactly `chunk_frames` frames worth of samples and returns
+    them, carrying the fast-WaveNet ring buffers and the last two samples
+    across calls.  The chunk length is the smallest multiple of the
+    upsampling factor and of every ring size at or above
+    `min_chunk_samples`, which makes the ring slot arithmetic continuous
+    across chunk boundaries (slot = t mod size restarts at 0 each chunk).
+
+    Intended for streaming TTS/serving: bounded memory, constant latency
+    per chunk, no per-utterance-length recompiles.
+    """
+
+    def __init__(self, params: Params, cfg: ModelConfig, B: int,
+                 maxd: int = 32, seed: int = 100, mode: str = "sampling",
+                 min_chunk_samples: int = 5500, interpret: bool = False):
+        import math
+        from qpnet_tpu.ops.gen_kernel import AUX_PAD, pack_weights
+        self.cfg, self.B, self.maxd = cfg, B, maxd
+        self.seed, self.mode = seed, mode
+        self.interpret = interpret
+        up = cfg.upsampling_factor
+        ring_lcm = math.lcm(up, maxd * max(cfg.dilationsA),
+                            max(cfg.dilationsF))
+        self.chunk = -(-min_chunk_samples // ring_lcm) * ring_lcm
+        self.chunk_frames = self.chunk // up
+        self.aux_pad = AUX_PAD
+        self._packed = pack_weights(params, cfg)
+        self._params = params
+        self._state = None
+        self._offset = 0
+
+    def _prime(self, h_first_frame: np.ndarray):
+        cfg, B, maxd = self.cfg, self.B, self.maxd
+        x_seed = np.full(
+            (B, cfg.receptiveF + cfg.receptiveA * maxd
+             + cfg.receptive_causal + 1),
+            cfg.n_quantize // 2, np.int32)
+        h0_up = (h_first_frame * np.asarray(self._params["up_w"])[0]
+                 + np.asarray(self._params["up_b"]))
+        bufsF, bufsA = _prime_ring_buffers(
+            self._params, cfg, x_seed, h0_up, maxd, jnp.float32, t0=0)
+        bufF = jnp.concatenate(
+            [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsF],
+            axis=0)
+        bufA = jnp.concatenate(
+            [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsA],
+            axis=0)
+        x0 = jnp.stack([x_seed[:, -2], x_seed[:, -1]]).astype(jnp.int32)
+        self._state = (bufF, bufA, x0)
+
+    def feed(self, h_frames: np.ndarray, d_frames: np.ndarray) -> np.ndarray:
+        """h_frames: (B, chunk_frames, n_aux) standardized aux;
+        d_frames: (B, chunk_frames) dilation factors.
+        Returns (B, chunk) int32 mu-law samples."""
+        from qpnet_tpu.ops.gen_kernel import pallas_generate
+        cfg, B = self.cfg, self.B
+        assert h_frames.shape == (B, self.chunk_frames, cfg.n_aux)
+        if self._state is None:
+            self._prime(np.asarray(h_frames[:, 0], np.float32))
+        h_pad = np.zeros((self.chunk_frames, B, self.aux_pad), np.float32)
+        h_pad[:, :, : cfg.n_aux] = np.moveaxis(h_frames, 0, 1)
+        d_pad = np.moveaxis(
+            np.asarray(d_frames, np.float32), 0, 1)[:, None, :]
+        bufF, bufA, x0 = self._state
+        samples, bufF, bufA, x0 = pallas_generate(
+            self._packed, cfg, bufF, bufA, x0,
+            jnp.asarray(h_pad, jnp.bfloat16), jnp.asarray(d_pad),
+            self.seed, B=B, maxd=self.maxd, n_steps=self.chunk,
+            mode=self.mode, interpret=self.interpret,
+            step_offset=self._offset)
+        self._state = (bufF, bufA, x0)
+        self._offset += self.chunk
+        return np.moveaxis(np.asarray(jax.device_get(samples))[:, 0, :],
+                           0, 1)

@@ -156,8 +156,10 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                W_post1_ref, W_post2_ref, b_post1_ref, b_post2_ref,
                bufF0_ref, bufA0_ref, x0_ref,  # primed state
                out_ref,                       # (1, B) int32 output block
+               bufF_out_ref, bufA_out_ref, x_out_ref,  # carried state out
                bufF, bufA, x_state, init_sems):
         t = pl.program_id(0)
+        n_total = pl.num_programs(0)
 
         @pl.when(t == 0)
         def _init():
@@ -240,12 +242,23 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                         + b_post1_ref[...], 0.0)
         logits = mm(u.astype(bf16), W_post2_ref[...]) + b_post2_ref[...]
 
+        @pl.when(t == n_total - 1)
+        def _export_state():
+            # stream the final ring state back to HBM so a follow-up chunk
+            # can continue exactly where this one stopped
+            cp1 = pltpu.make_async_copy(bufF, bufF_out_ref, init_sems.at[0])
+            cp2 = pltpu.make_async_copy(bufA, bufA_out_ref, init_sems.at[1])
+            cp1.start()
+            cp2.start()
+            cp1.wait()
+            cp2.wait()
+
         if mode == "sampling":
             if interpret:
                 # CPU interpret mode has no pltpu PRNG: xorshift-style hash
                 # of (seed, t, lane) — smoke-test quality only
-                base = (seed_ref[0] + t * jnp.uint32(2654435761)).astype(
-                    jnp.uint32)
+                base = (seed_ref[0] + (t + seed_ref[1])
+                        * jnp.uint32(2654435761)).astype(jnp.uint32)
                 idx = jax.lax.broadcasted_iota(jnp.uint32, (B, Q), 0) * Q \
                     + jax.lax.broadcasted_iota(jnp.uint32, (B, Q), 1)
                 v = base + idx * jnp.uint32(0x9E3779B9)
@@ -254,7 +267,7 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                 v = v ^ (v >> 16)
                 bits = v
             else:
-                pltpu.prng_seed(seed_ref[0] + t)
+                pltpu.prng_seed(seed_ref[0] + seed_ref[1] + t)
                 bits = pltpu.bitcast(pltpu.prng_random_bits((B, Q)),
                                      jnp.uint32)
             bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
@@ -267,6 +280,10 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
         out_ref[0, 0, :] = x_next
         x_state[0, :] = x_state[1, :]
         x_state[1, :] = x_next
+
+        @pl.when(t == n_total - 1)
+        def _export_x():
+            x_out_ref[...] = x_state[...]
 
     return kernel
 
@@ -282,7 +299,8 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
                     B: int, maxd: int, n_steps: int,
                     mode: str = "sampling",
                     interpret: bool = False,
-                    quantize: str = "none") -> jnp.ndarray:
+                    quantize: str = "none",
+                    step_offset: int = 0):
     """Run the generation kernel.
 
     bufF0: (sum(dilsF), B, R) bf16 primed fixed ring buffers, flat-packed
@@ -292,7 +310,11 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
     h_frames: (F, B, AUX_PAD) bf16 standardized aux (zero-padded dims),
               with F*up >= n_steps.
     d_frames: (F, 1, B) f32 frame-rate dilation factors.
-    Returns (n_steps, 1, B) int32 samples.
+    step_offset: global step index of this chunk's first sample (keeps the
+                 PRNG stream continuous across streamed chunks).
+    Returns (samples (n_steps,1,B) i32, bufF_out, bufA_out, x_out) — the
+    carried ring state enables exact chunked continuation when n_steps is
+    a multiple of every ring size and the upsampling factor.
     """
     up = cfg.upsampling_factor
     kernel = _make_kernel(cfg, B, maxd, mode, interpret, quantize)
@@ -303,7 +325,8 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
     sumA = maxd * sum(cfg.dilationsA)
 
     resident = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
+                          jnp.asarray(step_offset, jnp.int32)])
     return pl.pallas_call(
         kernel,
         grid=(n_steps,),
@@ -316,18 +339,28 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
             resident(), resident(), resident(),
             resident(), resident(), resident(), resident(),
             resident(), resident(), resident(), resident(),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             resident(),
         ],
-        out_specs=pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)),
+        out_specs=(
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((sumF, B, R), jnp.bfloat16),
             pltpu.VMEM((sumA, B, R), jnp.bfloat16),
             pltpu.VMEM((2, B), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        out_shape=jax.ShapeDtypeStruct((n_steps, 1, B), jnp.int32),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_steps, 1, B), jnp.int32),
+            jax.ShapeDtypeStruct((sumF, B, R), jnp.bfloat16),
+            jax.ShapeDtypeStruct((sumA, B, R), jnp.bfloat16),
+            jax.ShapeDtypeStruct((2, B), jnp.int32),
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT,
             has_side_effects=True),

@@ -1,0 +1,48 @@
+"""Streaming generation: chunked feeds with carried ring state must equal
+the one-shot generation on the concatenated conditioning (argmax mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qpnet_tpu.config import ModelConfig
+from qpnet_tpu.models import init_params
+from qpnet_tpu.models.generate import StreamingGenerator, _pallas_path
+
+
+def tiny_cfg():
+    return ModelConfig(n_quantize=32, n_aux=4, n_resch=16, n_skipch=8,
+                       dilationF_depth=2, dilationF_repeat=2,
+                       dilationA_depth=2, dilationA_repeat=1,
+                       kernel_size=2, upsampling_factor=5)
+
+
+@pytest.mark.slow
+def test_streaming_matches_one_shot():
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, maxd = 2, 4
+    sess = StreamingGenerator(params, cfg, B, maxd=maxd, mode="argmax",
+                              min_chunk_samples=40, interpret=True)
+    F_chunk = sess.chunk_frames
+    n_chunks = 3
+    F = F_chunk * n_chunks
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.full((B, F), 2.6, np.float32)
+
+    streamed = []
+    for c in range(n_chunks):
+        sl = slice(c * F_chunk, (c + 1) * F_chunk)
+        streamed.append(sess.feed(h[:, sl], d[:, sl]))
+    streamed = np.concatenate(streamed, axis=1)
+
+    rf = cfg.receptiveF + cfg.receptiveA * maxd + cfg.receptive_causal
+    x_seed = np.full((B, rf + 1), cfg.n_quantize // 2, np.int32)
+    d_samples = np.repeat(d, cfg.upsampling_factor, axis=1)
+    one_shot = _pallas_path(params, cfg, x_seed, h, d_samples,
+                            n_steps=F * cfg.upsampling_factor,
+                            maxd=maxd, seed=100, mode="argmax",
+                            interpret=True)
+    np.testing.assert_array_equal(streamed, one_shot)
