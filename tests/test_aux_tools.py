@@ -1,0 +1,83 @@
+"""Coverage for auxiliary tools: evaluate CLI, corpus-list generation,
+speaker initializer, profiler utilities."""
+
+import json
+import os
+
+import numpy as np
+import yaml
+from scipy.io import wavfile
+
+from qpnet_tpu.data import read_txt, write_txt
+
+FS = 16000
+
+
+def _make_wavs(root, n=2, seed=0):
+    rng = np.random.default_rng(seed)
+    paths = []
+    for i in range(n):
+        nsamp = int(0.4 * FS)
+        ph = np.cumsum(np.full(nsamp, 150.0 + 10 * i) / FS)
+        x = 0.5 * (2 * (ph % 1.0) - 1.0) + 0.01 * rng.normal(size=nsamp)
+        p = os.path.join(root, f"u{i}.wav")
+        wavfile.write(p, FS, (x * 12000).astype(np.int16))
+        paths.append(p)
+    return paths
+
+
+def test_evaluate_cli(tmp_path, capsys):
+    from qpnet_tpu.tools import evaluate
+    wavs = _make_wavs(str(tmp_path))
+    ref_scp = str(tmp_path / "ref.scp")
+    write_txt(ref_scp, wavs)
+    evaluate.main(["--ref_wavs", ref_scp, "--gen_wavs", ref_scp,
+                   "--mcep_dim", "24", "--mcep_alpha", "0.41",
+                   "--minf0", "60", "--maxf0", "400"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_utterances"] == 2
+    assert out["mcd_db_mean"] < 1e-9  # identity
+
+
+def test_make_corpus_lists(tmp_path):
+    from qpnet_tpu.bin import make_corpus_lists
+    corpus = tmp_path / "corpus"
+    for spk in ("SPKA", "SPKB"):
+        d = corpus / "wav" / "train" / spk
+        d.mkdir(parents=True)
+        _make_wavs(str(d), n=2)
+    make_corpus_lists.main(["--corpus_dir", str(corpus),
+                            "--subset", "train", "--prefix", "minitr",
+                            "--make_conf"])
+    lines = read_txt(str(corpus / "scp" / "minitr.scp"))
+    assert len(lines) == 4
+    assert all(l.startswith("rootpath/wav/train/") for l in lines)
+    assert len(read_txt(str(corpus / "scp" / "minitr_SPKA.scp"))) == 2
+    with open(corpus / "conf" / "pow_f0_dict.yml") as f:
+        conf = yaml.safe_load(f)
+    assert conf["SPKA"]["f0_min"] == 40
+
+
+def test_initialize_speaker(tmp_path):
+    from qpnet_tpu.bin import initialize_speaker
+    wavs = _make_wavs(str(tmp_path), n=2)
+    scp = str(tmp_path / "wavs.scp")
+    write_txt(scp, wavs)
+    fig_dir = str(tmp_path / "hist")
+    initialize_speaker.main(["--speaker", "SPKX", "--waveforms", scp,
+                             "--figure_dir", fig_dir, "--n_jobs", "1",
+                             "--verbose", "0"])
+    assert os.path.exists(os.path.join(fig_dir, "SPKX_f0histogram.png"))
+    assert os.path.exists(os.path.join(fig_dir, "SPKX_npowhistogram.png"))
+
+
+def test_profiler_utils(tmp_path):
+    import logging
+    from qpnet_tpu.utils.profiler import StepTimer, device_memory_stats
+    timer = StepTimer(total_steps=6, interval=3, name="t")
+    for _ in range(6):
+        with timer:
+            pass
+    assert len(timer.history) == 2
+    stats = device_memory_stats()
+    assert isinstance(stats, dict) and len(stats) >= 1
