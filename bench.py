@@ -71,7 +71,19 @@ def main():
             seed=100, mode=args.mode, compute_dtype=dtype,
             quantize=args.quantize, engine=args.engine)
 
-    run()  # warm-up / compile
+    # warm-up / compile — this environment's remote-compile service
+    # occasionally 500s; retry a few times before giving up
+    import time as _time
+    for attempt in range(4):
+        try:
+            run()
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 3:
+                raise
+            print(f"# warm-up attempt {attempt + 1} failed "
+                  f"({type(e).__name__}); retrying", flush=True)
+            _time.sleep(10)
     # best-of-3: wall-clock through the device tunnel is noisy
     dts = []
     for _ in range(3):
