@@ -28,7 +28,7 @@ import numpy as np
 from qpnet_tpu.dsp.world.dio import (
     _SpectrumCache, _event_times, _interval_f0_track, _low_cut_fft,
 )
-from qpnet_tpu.dsp.world.stonemask import _refine_frame
+from qpnet_tpu.dsp.world.refine import refine_many
 
 
 def _channel_candidates(cache: "_SpectrumCache", fs: int,
@@ -108,20 +108,16 @@ def harvest(x: np.ndarray, fs: int, f0_floor: float = 71.0,
         for k, f in enumerate(chosen):
             pooled[t, k] = f
 
-    # instantaneous-frequency refinement + stability score
+    # instantaneous-frequency refinement + stability score (batched)
+    tq, kq = np.nonzero(pooled > 0)
+    r_all = refine_many(x, fs, time_axis[tq], pooled[tq, kq])
     refined = np.zeros_like(pooled)
     score = np.zeros_like(pooled)
-    for t in range(n_frames):
-        for k in range(max_candidates):
-            f = pooled[t, k]
-            if f <= 0:
-                continue
-            r = _refine_frame(x, fs, time_axis[t], f)
-            if r <= 0 or r < f0_floor or r > f0_ceil:
-                continue
-            refined[t, k] = r
-            # stability: refined close to candidate = reliable
-            score[t, k] = max(0.0, 1.0 - 5.0 * abs(r - f) / f)
+    ok = (r_all > 0) & (r_all >= f0_floor) & (r_all <= f0_ceil)
+    refined[tq[ok], kq[ok]] = r_all[ok]
+    f_ok = pooled[tq[ok], kq[ok]]
+    score[tq[ok], kq[ok]] = np.maximum(
+        0.0, 1.0 - 5.0 * np.abs(r_all[ok] - f_ok) / f_ok)
 
     # Viterbi over states {unvoiced} + candidates
     S = max_candidates + 1     # state 0 = unvoiced

@@ -1,0 +1,91 @@
+"""Batched instantaneous-frequency F0 refinement (the StoneMask mechanism
+vectorized over an arbitrary set of (time, f0) queries).
+
+Each query windows ~3 periods of signal with a Blackman window (which is
+exactly zero at its support edge, so a common padded slot with per-query
+window functions is exact), computes the spectrum phase advance over one
+sample, and refines F0 as the power-weighted mean of IF(k*f0)/k over the
+first 6 harmonics.  One numpy batch FFT replaces a Python loop of
+per-frame FFTs — the dominant cost of harvest's refinement stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from qpnet_tpu.dsp.world.common import next_pow2
+
+N_HARMONICS = 6
+
+
+def refine_many(x: np.ndarray, fs: int, times: np.ndarray,
+                f0s: np.ndarray) -> np.ndarray:
+    """Refine each (times[i], f0s[i]) query; returns refined f0 per query
+    (0 where refinement failed or diverged by more than an octave).
+
+    Queries are bucketed by FFT size so low-pitched outliers don't pad the
+    whole batch to their window length."""
+    x = np.asarray(x, np.float64)
+    times = np.asarray(times, np.float64)
+    f0s = np.asarray(f0s, np.float64)
+    N = len(f0s)
+    if N == 0:
+        return np.zeros(0)
+    hw_all = (1.5 * fs / np.where(f0s > 0, f0s, 100.0)).astype(int) + 1
+    sizes = np.array([next_pow2(2 * int(h) + 1) * 2 for h in hw_all])
+    out = np.zeros(N)
+    for size in np.unique(sizes):
+        sel = np.nonzero(sizes == size)[0]
+        out[sel] = _refine_batch(x, fs, times[sel], f0s[sel])
+    return out
+
+
+def _refine_batch(x: np.ndarray, fs: int, times: np.ndarray,
+                  f0s: np.ndarray) -> np.ndarray:
+    N = len(f0s)
+    valid = f0s > 0
+    f0c = np.where(valid, f0s, 100.0)
+
+    hw = (1.5 * fs / f0c).astype(int) + 1          # per-query half window
+    hw_max = int(hw.max())
+    fftl = next_pow2(2 * hw_max + 1) * 2
+    centers = np.round(times * fs).astype(int)
+
+    offs = np.arange(-hw_max, hw_max + 1)          # (W,)
+    idx = centers[:, None] + offs[None, :]          # (N, W)
+    inside = (idx >= 0) & (idx < len(x))
+    seg = np.where(inside, x[np.clip(idx, 0, len(x) - 1)], 0.0)
+
+    tt = offs[None, :] / hw[:, None]                # (N, W), +-1 at support
+    w = np.where(np.abs(tt) <= 1.0,
+                 0.42 + 0.5 * np.cos(np.pi * tt)
+                 + 0.08 * np.cos(2 * np.pi * tt), 0.0)
+
+    X1 = np.fft.rfft(seg * w, fftl, axis=1)
+    seg_shift = np.roll(seg, -1, axis=1)
+    seg_shift[:, -1] = 0.0
+    X2 = np.fft.rfft(seg_shift * w, fftl, axis=1)
+
+    # gather the 6 harmonic bins per query FIRST, then do the (expensive)
+    # phase math on N*6 values instead of the full N x fftl/2 spectra
+    ks = np.arange(1, N_HARMONICS + 1)
+    fk = f0c[:, None] * ks[None, :]                 # (N, 6)
+    ok = fk < fs / 2
+    half = fftl // 2
+    bins = np.clip(np.round(fk * fftl / fs).astype(int), 0, half)
+    rows = np.arange(N)[:, None]
+    X1b = X1[rows, bins]
+    X2b = X2[rows, bins]
+    bin_freq = bins * (fs / fftl)
+    instb = np.angle(X2b * np.conj(X1b)) * fs / (2 * np.pi)
+    # wrap the deviation from the bin frequency into (-fs/2, fs/2]
+    dev = instb - bin_freq
+    dev = (dev + fs / 2) % fs - fs / 2
+    instb = bin_freq + dev
+    pk = np.where(ok, np.abs(X1b), 0.0)
+    num = np.sum(pk * np.where(ok, instb, 0.0) / ks[None, :], axis=1)
+    den = np.sum(pk, axis=1)
+    refined = np.where(den > 0, num / np.maximum(den, 1e-30), 0.0)
+    bad = (~valid) | (refined <= 0) | (refined < f0c * 0.5) \
+        | (refined > f0c * 2.0)
+    return np.where(bad, 0.0, refined)

@@ -63,12 +63,9 @@ def _refine_frame(x: np.ndarray, fs: int, t: float, f0_init: float) -> float:
 
 def stonemask(x: np.ndarray, f0: np.ndarray, time_axis: np.ndarray,
               fs: int) -> np.ndarray:
+    """Two batched refinement passes (WORLD refines the refined value)."""
+    from qpnet_tpu.dsp.world.refine import refine_many
     x = np.asarray(x, np.float64)
-    out = np.zeros_like(f0)
-    for i, (t, f) in enumerate(zip(time_axis, f0)):
-        # two refinement passes (WORLD runs refinement on the refined value)
-        r = _refine_frame(x, fs, t, f)
-        if r > 0:
-            r = _refine_frame(x, fs, t, r) or r
-        out[i] = r
-    return out
+    r1 = refine_many(x, fs, time_axis, np.asarray(f0, np.float64))
+    r2 = refine_many(x, fs, time_axis, r1)
+    return np.where(r2 > 0, r2, r1)
