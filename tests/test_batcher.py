@@ -92,3 +92,22 @@ def test_background_generator():
             yield i
     bg = BackgroundGenerator(gen(), max_prefetch=2)
     assert list(bg) == [0, 1, 2, 3, 4]
+
+
+def test_background_generator_propagates_worker_errors(tmp_path):
+    """A corrupt feature file must surface its real cause, not a bare
+    StopIteration (regression for the swallowed-exception bug)."""
+    import pytest
+    from qpnet_tpu.data.batcher import background, train_window_generator
+    cfg = tiny_cfg()
+    wavs, feats = make_synthetic_corpus(str(tmp_path), n_utts=1, fs=1000,
+                                        up=10, n_aux=4)
+    # corrupt the h5
+    with open(feats[0], "wb") as f:
+        f.write(b"not an hdf5 file")
+    gen = background(2)(train_window_generator)(
+        wavs, feats, cfg, batch_length=300, batch_size=1, max_length=900,
+        shuffle=False, loop=False)
+    with pytest.raises(RuntimeError, match="data pipeline worker failed"):
+        for _ in range(5):
+            gen.next()
