@@ -44,7 +44,14 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
     logging.info("number of model parameters: %d", count_params(params))
 
     tx = make_optimizer(lr=tcfg.lr, weight_decay=tcfg.weight_decay)
-    step_fn = make_train_step(cfg, tx, mesh=mesh, remat=True)
+    # rematerialization trades ~25% step time for activation memory; only
+    # needed once the per-device activation footprint gets large (B=1..4
+    # windows of 30k samples fit a 16GB v5e without it)
+    from qpnet_tpu.data.batcher import padded_shape
+    per_dev = max(1, tcfg.batch_size // (mesh.size if mesh else 1))
+    remat = per_dev * padded_shape(tcfg.max_length,
+                                   cfg.upsampling_factor) > 130_000
+    step_fn = make_train_step(cfg, tx, mesh=mesh, remat=remat)
 
     iterations = 0
     loss_record = []
