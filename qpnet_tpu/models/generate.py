@@ -162,17 +162,13 @@ def _generate_scan(params: Params, cfg: ModelConfig,
     b_post1, b_post2 = params["b_post1"], params["b_post2"]
 
     # --- prime ring buffers over positions [0, rf-1] (excludes the seed;
-    # reference qpnet.py:367 primes on x[:, :-1])
-    h_up_ctx = jnp.broadcast_to(h_up[:, :1], (B, rf, h_up.shape[-1]))
-    d_ctx = jnp.ones((B, rf), jnp.float32)
-    acts = _prime_activations(
-        params, cfg, x_seed[:, :-1], h_up_ctx, d_ctx, compute_dtype)
+    # reference qpnet.py:367 primes on x[:, :-1]); the scan counts absolute
+    # time from rf, hence t0=rf (the pallas engine uses t0=0)
     sizesF = list(dilsF)
     sizesA = [maxd * dil for dil in dilsA]
-    t0 = rf  # first step's "current" position
-    bufsF = [_ring_from_tail(acts[i], s, t0) for i, s in enumerate(sizesF)]
-    bufsA = [_ring_from_tail(acts[len(dilsF) + i], s, t0)
-             for i, s in enumerate(sizesA)]
+    bufsF, bufsA = _prime_ring_buffers(
+        params, cfg, None, h_up[:, 0], maxd, compute_dtype, t0=rf,
+        x_seed_alias=x_seed)
 
     def step(carry, inp):
         (x_prev, x_cur, bufsF, bufsA, t) = carry
@@ -233,19 +229,21 @@ def _generate_scan(params: Params, cfg: ModelConfig,
     r_steps = jnp.moveaxis(r_steps, 0, 1)  # (T, B, nA)
     keys = jax.random.split(key, n_steps)
 
-    carry0 = (x_seed[:, -2], x_seed[:, -1], bufsF, bufsA, jnp.int32(t0))
+    carry0 = (x_seed[:, -2], x_seed[:, -1], bufsF, bufsA, jnp.int32(rf))
     _, samples = jax.lax.scan(step, carry0, (h_steps, r_steps, keys))
     return jnp.moveaxis(samples, 0, 1)  # (B, n_steps)
 
 
 def _prime_ring_buffers(params: Params, cfg: ModelConfig,
-                        x_seed: np.ndarray, h0_up: np.ndarray,
-                        maxd: int, compute_dtype, t0: int):
+                        x_seed, h0_up, maxd: int, compute_dtype, t0: int,
+                        x_seed_alias=None):
     """Teacher-forced priming pass shared by both engines; returns per-layer
     ring buffers laid out for a consumer whose first step is time `t0`
     (the XLA scan counts absolute time from rf; the pallas kernel counts
     from 0 — rolling for the wrong origin misplaces the primed history
     whenever rf % size != 0)."""
+    if x_seed is None:
+        x_seed = x_seed_alias
     B = x_seed.shape[0]
     rf = cfg.receptiveF + cfg.receptiveA * maxd + cfg.receptive_causal
     h_up_ctx = jnp.broadcast_to(jnp.asarray(h0_up)[:, None, :],
@@ -324,11 +322,27 @@ def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
     return np.moveaxis(out, 0, 1)[:, :n_steps]
 
 
-def pallas_engine_available(cfg: ModelConfig, B: int, maxd: int) -> bool:
+def pallas_engine_available(cfg: ModelConfig, B: int, maxd: int,
+                            quantize: str = "none") -> bool:
     from qpnet_tpu.ops.gen_kernel import VMEM_LIMIT, vmem_cost_bytes
-    if jax.default_backend() == "cpu":
+    # the Mosaic kernel only lowers for TPU (this environment's tunnel
+    # backend reports platform "axon" but serves a real TPU)
+    platform = jax.devices()[0].platform
+    if platform not in ("tpu", "axon"):
         return False
-    return vmem_cost_bytes(cfg, B, maxd) < VMEM_LIMIT
+    return vmem_cost_bytes(cfg, B, maxd, quantize) < VMEM_LIMIT
+
+
+def _frame_constant(d: np.ndarray, up: int) -> bool:
+    """True when the sample-rate dilation track is constant within frames
+    (the decode pipeline's repeat-per-frame layout). The pallas engine
+    streams d at frame rate, so within-frame variation requires the XLA
+    engine."""
+    T = (d.shape[1] // up) * up
+    if T == 0:
+        return True
+    dv = d[:, :T].reshape(d.shape[0], -1, up)
+    return bool(np.all(dv == dv[:, :, :1]))
 
 
 def batch_fast_generate(params: Params, cfg: ModelConfig,
@@ -367,9 +381,13 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
                    ((0, 0), (0, max(0, n_steps - d.shape[1]))),
                    constant_values=1.0)[:, :n_steps]
 
+    if engine == "pallas" and mesh is not None:
+        raise ValueError("engine='pallas' is single-chip; multi-chip decode "
+                         "shards the batch via the XLA engine (mesh=...)")
     use_pallas = (engine == "pallas"
                   or (engine == "auto" and mesh is None
-                      and pallas_engine_available(cfg, B, maxd)))
+                      and pallas_engine_available(cfg, B, maxd, quantize)
+                      and _frame_constant(d_gen, cfg.upsampling_factor)))
     if use_pallas:
         samples = _pallas_path(params, cfg, np.asarray(x_seed, np.int32),
                                np.asarray(h, np.float32), d_gen, n_steps,
@@ -459,6 +477,11 @@ class StreamingGenerator:
         from qpnet_tpu.ops.gen_kernel import pallas_generate
         cfg, B = self.cfg, self.B
         assert h_frames.shape == (B, self.chunk_frames, cfg.n_aux)
+        if float(np.max(d_frames)) > self.maxd:
+            raise ValueError(
+                f"dilation factor {float(np.max(d_frames)):.1f} exceeds the "
+                f"session's maxd={self.maxd}; recreate the session with a "
+                f"larger maxd (ring look-backs would silently saturate)")
         if self._state is None:
             self._prime(np.asarray(h_frames[:, 0], np.float32))
         h_pad = np.zeros((self.chunk_frames, B, self.aux_pad), np.float32)

@@ -50,6 +50,11 @@ def pack_weights(params: Dict[str, Any], cfg: ModelConfig,
     quantize="int8": the two large per-block matrices are stored int8 with
     per-output-column scales; the MXU runs int8 at twice the bf16 rate and
     the resident weight set shrinks 2x (more VMEM left for batch).
+
+    NOTE: the pallas kernel runs W8A8 (dynamic per-row activation
+    quantization, mmq below); the XLA scan engine's quantize="int8" is
+    weight-only dequantized matmul — the same flag is a different numeric
+    scheme per engine.
     """
     R, S, Q, A = cfg.n_resch, cfg.n_skipch, cfg.n_quantize, cfg.n_aux
     layers = list(params["fixed"]) + list(params["adaptive"])
@@ -73,7 +78,8 @@ def pack_weights(params: Dict[str, Any], cfg: ModelConfig,
     b_res = jnp.stack([jnp.asarray(p["b_res"], jnp.float32)
                        for p in layers])
     b_skip_sum = sum(jnp.asarray(p["b_skip"], jnp.float32) for p in layers)
-    up_w = jnp.zeros((128,), jnp.float32).at[
+    up_len = max(128, -(-cfg.upsampling_factor // 8) * 8)
+    up_w = jnp.zeros((up_len,), jnp.float32).at[
         : cfg.upsampling_factor].set(jnp.asarray(params["up_w"],
                                                  jnp.float32))
     out: Dict[str, Any] = {}
@@ -105,13 +111,15 @@ def pack_weights(params: Dict[str, Any], cfg: ModelConfig,
     return out
 
 
-def vmem_cost_bytes(cfg: ModelConfig, B: int, maxd: int) -> int:
+def vmem_cost_bytes(cfg: ModelConfig, B: int, maxd: int,
+                    quantize: str = "none") -> int:
     """Rough resident VMEM footprint; callers fall back to the XLA scan
     path when this exceeds the budget (large maxd buckets / batches)."""
     R, S, Q = cfg.n_resch, cfg.n_skipch, cfg.n_quantize
     L = len(cfg.dilationsF) + len(cfg.dilationsA)
-    weights = 2 * (L * (2 * R) * (2 * R) + L * R * (S + R)
-                   + L * AUX_PAD * 2 * R + 2 * Q * R + 2 * S * S)
+    wbytes = 1 if quantize == "int8" else 2
+    weights = wbytes * (L * (2 * R) * (2 * R) + L * R * (S + R)) \
+        + 2 * (L * AUX_PAD * 2 * R + 2 * Q * R + 2 * S * S)
     bufF = 2 * sum(cfg.dilationsF) * B * R
     bufA = 2 * maxd * sum(cfg.dilationsA) * B * R
     return weights + bufF + bufA + (1 << 23)
@@ -119,6 +127,8 @@ def vmem_cost_bytes(cfg: ModelConfig, B: int, maxd: int) -> int:
 
 def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                  interpret: bool = False, quantize: str = "none"):
+    if mode not in ("sampling", "argmax"):
+        raise ValueError("mode should be sampling or argmax")
     R, S, Q = cfg.n_resch, cfg.n_skipch, cfg.n_quantize
     dilsF, dilsA = cfg.dilationsF, cfg.dilationsA
     nF, nA = len(dilsF), len(dilsA)
@@ -201,14 +211,14 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                 # one-hot slot selection, chunked so the 3D mask temporary
                 # stays small (a full (size,B,R) f32 copy blows VMEM)
                 slot3 = slot_b[None, :, None]                    # (1,B,1) i32
-                chunk = min(size, 32)
                 past = jnp.zeros((B, R), jnp.float32)
-                for c0 in range(0, size, chunk):
+                for c0 in range(0, size, 32):
+                    cw = min(32, size - c0)       # clamp the final chunk
                     i3 = jax.lax.broadcasted_iota(
-                        jnp.int32, (chunk, B, R), 0) + c0
-                    m3 = (i3 == slot3).astype(bf16)              # (chunk,B,R)
+                        jnp.int32, (cw, B, R), 0) + c0
+                    m3 = (i3 == slot3).astype(bf16)              # (cw,B,R)
                     past = past + jnp.sum(
-                        bufA[offA[la] + c0: offA[la] + c0 + chunk, :, :]
+                        bufA[offA[la] + c0: offA[la] + c0 + cw, :, :]
                         * m3, axis=0)
                 # r==0 -> current sample (teacher-forced idx = t - 0);
                 # blend with an f32 mask (bool minor-dim inserts are
