@@ -30,6 +30,11 @@ def make_mesh(n_devices: Optional[int] = None,
     """Build a mesh over the first `n_devices` (default: all)."""
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"make_mesh: {n_devices} devices requested but only "
+                f"{len(devs)} available ({devs[0].platform}); a silently "
+                f"truncated mesh would hide wrong sharding")
         devs = devs[:n_devices]
     if shape is None:
         shape = (len(devs),) + (1,) * (len(axes) - 1)
