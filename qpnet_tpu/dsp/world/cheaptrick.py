@@ -1,24 +1,29 @@
 """CheapTrick spectral-envelope estimator (Morise 2015, WORLD `cheaptrick`).
 
 Per voiced frame (unvoiced uses the default F0):
-  1. pitch-synchronous Hanning window spanning 3 periods, energy-normalized;
-  2. power spectrum with f0-adaptive *linear smoothing* (rectangular kernel
-     of width 2/3*f0) to fill harmonic gaps;
+  1. pitch-synchronous Hanning window spanning 3 periods with the
+     window-weighted mean removed (WORLD GetWindowedWaveform), normalized
+     by the window energy;
+  2. power spectrum, DC-corrected below f0 (the sub-f0 bins get the
+     mirrored spectrum at f0-f added), then f0-adaptive *linear smoothing*
+     (rectangular kernel of width 2/3*f0) to fill harmonic gaps;
   3. cepstral liftering: sinc smoothing lifter sin(pi*f0*tau)/(pi*f0*tau)
      and the spectral-recovery lifter q0 + 2*q1*cos(2*pi*f0*tau) with
-     q0=1.18, q1=-0.09 (the CheapTrick constants).
+     q1 = -0.15, q0 = 1 - 2*q1 (WORLD's kQ1; the original 2015 paper used
+     -0.09, current WORLD revised it).
 
-Returns a power spectrogram (F, fftl//2+1).
+Returns a power spectrogram (F, fftl//2+1).  The reference reaches this
+algorithm through pyworld via sprocket (feature_extract.py:324-327).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from qpnet_tpu.dsp.world.common import safe_log
+from qpnet_tpu.dsp.world.common import dc_correction, safe_log
 
 DEFAULT_F0 = 500.0
-Q1 = -0.15  # WORLD uses q1=-0.15 in recent versions
+Q1 = -0.15  # WORLD kQ1 (cheaptrick.cpp); the 2015 paper's value was -0.09
 
 
 def _windowed_power_spectrum(x: np.ndarray, fs: int, t: float, f0: float,
@@ -31,9 +36,11 @@ def _windowed_power_spectrum(x: np.ndarray, fs: int, t: float, f0: float,
     seg[valid] = x[idx[valid]]
     tt = (np.arange(len(seg)) - half_window) / fs
     w = 0.5 + 0.5 * np.cos(np.pi * tt * f0 / 1.5)
-    w /= np.sqrt(np.sum(w ** 2))
-    ps = np.abs(np.fft.rfft(seg * w, fftl)) ** 2
-    return ps
+    windowed = seg * w
+    windowed -= w * (windowed.sum() / w.sum())     # zero DC leak
+    windowed /= np.sqrt(np.sum(w ** 2))
+    ps = np.abs(np.fft.rfft(windowed, fftl)) ** 2
+    return dc_correction(ps, f0, fs, fftl)
 
 
 def _linear_smoothing(ps: np.ndarray, fs: int, fftl: int, width: float

@@ -139,39 +139,88 @@ def _band_candidate(x_band: np.ndarray, fs: int, boundary_f0: float,
     return cand, rel
 
 
-def _fix_contour(f0: np.ndarray, frame_period_ms: float,
+def _select_best_f0(current: float, past: float, frame_cands: np.ndarray,
+                    allowed_range: float) -> float:
+    """Candidate closest to the half-step linear extrapolation of the
+    contour; 0 when even the best disagrees by more than allowed_range
+    (WORLD dio.cc SelectBestF0)."""
+    reference = (current * 3.0 - past) / 2.0
+    errors = np.abs(reference - frame_cands)
+    best = int(np.argmin(errors))
+    if errors[best] / max(reference, 1e-12) >= allowed_range:
+        return 0.0
+    return float(frame_cands[best])
+
+
+def _fix_contour(f0: np.ndarray, cands: np.ndarray, frame_period_ms: float,
                  allowed_range: float = 0.1,
-                 voice_range_minimum_ms: float = 30.0) -> np.ndarray:
-    """Contour cleanup: drop >allowed_range discontinuities at voiced-run
-    edges and erase voiced runs shorter than voice_range_minimum."""
-    f0 = f0.copy()
+                 f0_floor: float = 71.0) -> np.ndarray:
+    """WORLD FixF0Contour (dio.cc steps 1-4).
+
+    Steps 1-2 aggressively erode: any frame whose step-to-step change
+    exceeds `allowed_range` (including every voiced onset, where the
+    previous frame is 0) and any frame within half a voice-range window of
+    an unvoiced frame go to 0.  Steps 3-4 then re-extend each surviving
+    voiced section forward/backward, one frame at a time, accepting the
+    band candidate that best matches the extrapolated contour — recovering
+    the eroded onsets/offsets only where the candidate pool agrees.
+
+    cands: (n_bands, n_frames) per-band candidate F0s (0 where invalid).
+    """
     n = len(f0)
-    # kill frames that jump >allowed_range from either neighbor (the
-    # mask is computed on the pre-mutation contour, applied once)
-    prev = np.roll(f0, 1)
-    prev[0] = f0[0]
-    nxt = np.roll(f0, -1)
-    nxt[-1] = f0[-1]
-    with np.errstate(divide="ignore", invalid="ignore"):
-        jump_p = np.abs(f0 - prev) / np.maximum(f0, 1e-9)
-        jump_n = np.abs(f0 - nxt) / np.maximum(f0, 1e-9)
-    bad = (f0 > 0) & (((prev > 0) & (jump_p > allowed_range))
-                      & ((nxt > 0) & (jump_n > allowed_range)))
-    f0[bad] = 0.0
-    # remove short voiced runs
-    min_frames = max(1, int(round(voice_range_minimum_ms / frame_period_ms)))
-    i = 0
-    while i < n:
-        if f0[i] > 0:
-            j = i
-            while j < n and f0[j] > 0:
-                j += 1
-            if j - i < min_frames:
-                f0[i:j] = 0.0
-            i = j
-        else:
-            i += 1
-    return f0
+    vrm = int(0.5 + 1000.0 / frame_period_ms / f0_floor) * 2 + 1
+    if n <= vrm:
+        return f0.copy()
+
+    # step 1: erode discontinuities (onsets included: prev==0 -> ratio ~ 1)
+    step1 = f0.copy()
+    step1[:vrm] = 0.0
+    prev = np.concatenate([[0.0], f0[:-1]])
+    rel = np.abs(f0 - prev) / (1e-12 + f0)
+    step1[rel >= allowed_range] = 0.0
+
+    # step 2: a frame is voiced only if its whole +-vrm/2 window is voiced
+    half = vrm // 2
+    step2 = step1.copy()
+    voiced = (step1 > 0).astype(np.float64)
+    window_ok = np.convolve(voiced, np.ones(vrm), mode="valid") >= vrm
+    step2[half: n - half][~window_ok[: n - 2 * half]] = 0.0
+
+    # voiced-section boundaries on step2
+    v = step2 > 0
+    starts = np.where(v[1:] & ~v[:-1])[0] + 1     # first voiced frame
+    ends = np.where(~v[1:] & v[:-1])[0]           # last voiced frame
+    if v[0]:
+        starts = np.concatenate([[0], starts])
+    if v[-1]:
+        ends = np.concatenate([ends, [n - 1]])
+
+    # step 3: extend each section forward until candidates disagree
+    step3 = step2.copy()
+    for i, e in enumerate(ends):
+        limit = n - 1 if i == len(ends) - 1 else int(starts[i + 1]) - 1 \
+            if i + 1 < len(starts) else n - 1
+        for j in range(int(e), min(limit, n - 2) + 1):
+            if j < 1:
+                break
+            step3[j + 1] = _select_best_f0(step3[j], step3[j - 1],
+                                           cands[:, j + 1], allowed_range)
+            if step3[j + 1] == 0.0:
+                break
+
+    # step 4: extend each section backward
+    step4 = step3.copy()
+    for i in range(len(starts) - 1, -1, -1):
+        s = int(starts[i])
+        limit = 1 if i == 0 else int(ends[i - 1]) + 1
+        for j in range(s, limit, -1):
+            if j > n - 2:
+                continue
+            step4[j - 1] = _select_best_f0(step4[j], step4[j + 1],
+                                           cands[:, j - 1], allowed_range)
+            if step4[j - 1] == 0.0:
+                break
+    return step4
 
 
 def dio(x: np.ndarray, fs: int, f0_floor: float = 71.0,
@@ -201,5 +250,6 @@ def dio(x: np.ndarray, fs: int, f0_floor: float = 71.0,
     f0 = cands[best, np.arange(n_frames)]
     best_rel = rels[best, np.arange(n_frames)] / np.maximum(f0, 1e-9)
     f0 = np.where(best_rel < allowed_range, f0, 0.0)
-    f0 = _fix_contour(f0, frame_period, allowed_range)
+    f0 = _fix_contour(f0, cands, frame_period, allowed_range,
+                      f0_floor=f0_floor)
     return f0, time_axis
