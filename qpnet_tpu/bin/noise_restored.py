@@ -1,7 +1,12 @@
-"""Noise-shaping restoration worker (reference src/bin/noise_restored.py):
-applies the inverse differential MLSA filter (`--inv false` keeps the
-original coefficient signs) to *generated* wavs, mapping
-`outdir/feat_id.wav` -> `writedir/feat_id.wav`.
+"""De-emphasize generated waveforms: the inverse of bin/noise_shaping.py.
+
+Recipe stage (reference src/bin/noise_restored.py): generated audio was
+produced from noise-shaped targets, so its spectrum carries the shaping
+pre-emphasis; this worker applies the same corpus-mean MLSA filter with
+un-flipped signs (`--inv false`, the default direction here) to restore
+it.  Paths are template-driven: `--outdir`/`--writedir` contain the
+literal token `feat_id`, substituted per utterance (runQP.py step 4 builds
+these templates).  The filter engine lives in dsp/emphasis.py.
 """
 
 from __future__ import annotations
@@ -11,12 +16,8 @@ import logging
 import os
 import sys
 
-import numpy as np
-from scipy.io import wavfile
-
-from qpnet_tpu.data import find_files, read_hdf5, read_txt
-from qpnet_tpu.dsp import low_cut_filter
-from qpnet_tpu.dsp.world import WorldAnalyzer, WorldSynthesizer
+from qpnet_tpu.data import find_files, read_txt
+from qpnet_tpu.dsp.emphasis import emphasis_coefs, filter_wav_file
 from qpnet_tpu.utils import multi_processing, set_loglevel
 
 
@@ -29,7 +30,7 @@ def get_arguments(argv=None):
     parser.add_argument("--feats", required=True, type=str)
     parser.add_argument("--stats", required=True, type=str)
     parser.add_argument("--outdir", required=True, type=str,
-                        help="noise-shaped wav path template with feat_id")
+                        help="generated wav path template with feat_id")
     parser.add_argument("--writedir", required=True, type=str,
                         help="restored wav path template with feat_id")
     parser.add_argument("--feature_type", default="world", type=str)
@@ -48,38 +49,21 @@ def get_arguments(argv=None):
     return parser.parse_args(argv)
 
 
-def noise_restore(feat_ids, args):
-    analyzer = WorldAnalyzer(fs=args.fs, shiftms=args.shiftms,
-                             fftl=args.fftl)
-    synthesizer = WorldSynthesizer(fs=args.fs, shiftms=args.shiftms,
-                                   fftl=args.fftl)
-    base_coef = read_hdf5(args.stats, "/%s/mean" % args.feature_type)
-    for i, feat_id in enumerate(feat_ids):
-        logging.info("now processing %s (%d/%d)", feat_id, i + 1,
-                     len(feat_ids))
-        wav_filename = args.outdir.replace("feat_id", feat_id)
-        fs, x = wavfile.read(wav_filename)
-        wav_type = x.dtype
-        x = np.array(x, dtype=np.float64)
-        if fs != args.fs:
-            logging.error("sampling frequency is not matched.")
+def restore_worker(feat_ids, args):
+    coefs = emphasis_coefs(args.stats, args.feature_type,
+                           args.mcep_dim_start, args.mcep_dim_end,
+                           args.mag, invert=args.inv)
+    total = len(feat_ids)
+    for i, feat_id in enumerate(feat_ids, start=1):
+        src = args.outdir.replace("feat_id", feat_id)
+        dst = args.writedir.replace("feat_id", feat_id)
+        logging.info("restoring [%d/%d] %s", i, total, src)
+        try:
+            filter_wav_file(src, dst, args.fs, coefs, args.mcep_alpha,
+                            args.shiftms)
+        except ValueError as e:
+            logging.error("%s", e)
             sys.exit(1)
-        f0, _, _ = analyzer.analyze(x)
-        num_frames = f0.shape[0]
-        mlsa_coef = base_coef[args.mcep_dim_start: args.mcep_dim_end] * args.mag
-        mlsa_coef[0] = 0.0
-        if args.inv:
-            mlsa_coef[1:] = -1.0 * mlsa_coef[1:]
-        mlsa_coef = np.tile(mlsa_coef, [num_frames, 1])
-        x_ns = synthesizer.synthesis_diff(x, mlsa_coef, alpha=args.mcep_alpha)
-        x_ns = low_cut_filter(x_ns, args.fs, cutoff=70)
-        write_name = args.writedir.replace("feat_id", feat_id)
-        os.makedirs(os.path.dirname(write_name), exist_ok=True)
-        wav = np.clip(x_ns, -32768, 32767)
-        if wav_type == np.int16:
-            wavfile.write(write_name, args.fs, np.int16(wav))
-        else:
-            wavfile.write(write_name, args.fs, wav)
 
 
 def main(argv=None):
@@ -87,19 +71,18 @@ def main(argv=None):
     set_loglevel(args.verbose)
     for key, value in vars(args).items():
         logging.info("%s = %s", key, str(value))
-    os.makedirs(os.path.dirname(args.writedir), exist_ok=True)
     if os.path.isdir(args.feats):
         feat_list = sorted(find_files(args.feats,
                                       "*.%s" % args.feature_format))
     elif os.path.isfile(args.feats):
         feat_list = read_txt(args.feats)
     else:
-        logging.error("--feats should be directory or list.")
+        logging.error("--feats should be a directory or an scp list.")
         sys.exit(1)
-    feat_ids = [os.path.basename(f).replace(".%s" % args.feature_format, "")
-                for f in feat_list]
-    logging.info("number of utterances = %d", len(feat_ids))
-    multi_processing(feat_ids, noise_restore, args.n_jobs, args)
+    suffix = ".%s" % args.feature_format
+    feat_ids = [os.path.basename(f)[: -len(suffix)] for f in feat_list]
+    logging.info("restoring %d utterances", len(feat_ids))
+    multi_processing(feat_ids, restore_worker, args.n_jobs, args)
 
 
 if __name__ == "__main__":

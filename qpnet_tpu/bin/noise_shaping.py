@@ -1,7 +1,13 @@
-"""Mu-law-domain noise shaping worker (reference src/bin/noise_shaping.py):
-pre-emphasizes training targets with the differential MLSA filter built from
-the corpus-mean mel-cepstrum (mag 0.5, c0=0, signs flipped for `--inv true`),
-followed by a 70 Hz low-cut.  Writes `wav_<fmt>_ns/*.wav`.
+"""Pre-emphasize training waveforms with the corpus-mean MLSA filter.
+
+Recipe stage (reference src/bin/noise_shaping.py): QPNet trains on mu-law
+classes, so shaping the targets with a differential mel-cepstral filter
+whitens the quantization noise; decoding later restores the spectrum with
+the inverse filter (bin/noise_restored.py).  The argv surface matches the
+reference worker; the filter engine lives in dsp/emphasis.py.
+
+Input wavs come from the scp list (or a directory); each output lands next
+to its input with the `wav` path component renamed to `wav_<fmt>_<type>`.
 """
 
 from __future__ import annotations
@@ -11,12 +17,8 @@ import logging
 import os
 import sys
 
-import numpy as np
-from scipy.io import wavfile
-
-from qpnet_tpu.data import find_files, read_hdf5, read_txt
-from qpnet_tpu.dsp import low_cut_filter
-from qpnet_tpu.dsp.world import WorldAnalyzer, WorldSynthesizer
+from qpnet_tpu.data import find_files, read_txt
+from qpnet_tpu.dsp.emphasis import emphasis_coefs, filter_wav_file
 from qpnet_tpu.utils import multi_processing, set_loglevel
 
 
@@ -44,47 +46,23 @@ def get_arguments(argv=None):
     return parser.parse_args(argv)
 
 
-def filepath_create(wav_list, wav_set):
-    for wav_name in wav_list:
-        write_name = wav_name.replace("wav", wav_set).replace(
-            ".%s" % wav_set, ".wav")
-        dirname = os.path.dirname(write_name)
-        if dirname:
-            os.makedirs(dirname, exist_ok=True)
+def _output_path(wav_path: str, wav_set: str) -> str:
+    return wav_path.replace("wav", wav_set).replace(".%s" % wav_set, ".wav")
 
 
-def noise_shaping(wav_list, wav_set, args):
-    analyzer = WorldAnalyzer(fs=args.fs, shiftms=args.shiftms,
-                             fftl=args.fftl)
-    synthesizer = WorldSynthesizer(fs=args.fs, shiftms=args.shiftms,
-                                   fftl=args.fftl)
-    base_coef = read_hdf5(args.stats, "/%s/mean" % args.feature_type)
-    for i, wav_name in enumerate(wav_list):
-        logging.info("now processing %s (%d/%d)", wav_name, i + 1,
-                     len(wav_list))
-        fs, x = wavfile.read(wav_name)
-        wav_type = x.dtype
-        x = np.array(x, dtype=np.float64)
-        if fs != args.fs:
-            logging.error("sampling frequency is not matched.")
+def shape_worker(wav_list, wav_set, args):
+    coefs = emphasis_coefs(args.stats, args.feature_type,
+                           args.mcep_dim_start, args.mcep_dim_end,
+                           args.mag, invert=args.inv)
+    total = len(wav_list)
+    for i, src in enumerate(wav_list, start=1):
+        logging.info("shaping [%d/%d] %s", i, total, src)
+        try:
+            filter_wav_file(src, _output_path(src, wav_set), args.fs,
+                            coefs, args.mcep_alpha, args.shiftms)
+        except ValueError as e:
+            logging.error("%s", e)
             sys.exit(1)
-        # frame count from F0 analysis (reference noise_shaping.py:118-120)
-        f0, _, _ = analyzer.analyze(x)
-        num_frames = f0.shape[0]
-        mlsa_coef = base_coef[args.mcep_dim_start: args.mcep_dim_end] * args.mag
-        mlsa_coef[0] = 0.0
-        if args.inv:
-            mlsa_coef[1:] = -1.0 * mlsa_coef[1:]
-        mlsa_coef = np.tile(mlsa_coef, [num_frames, 1])
-        x_ns = synthesizer.synthesis_diff(x, mlsa_coef, alpha=args.mcep_alpha)
-        x_ns = low_cut_filter(x_ns, args.fs, cutoff=70)
-        write_name = wav_name.replace("wav", wav_set).replace(
-            ".%s" % wav_set, ".wav")
-        x_ns = np.clip(x_ns, -32768, 32767)
-        if wav_type == np.int16:
-            wavfile.write(write_name, args.fs, np.int16(x_ns))
-        else:
-            wavfile.write(write_name, args.fs, x_ns)
 
 
 def main(argv=None):
@@ -93,13 +71,12 @@ def main(argv=None):
     for key, value in vars(args).items():
         logging.info("%s = %s", key, str(value))
     if os.path.isdir(args.waveforms):
-        file_list = sorted(find_files(args.waveforms, "*.wav"))
+        wav_list = sorted(find_files(args.waveforms, "*.wav"))
     else:
-        file_list = read_txt(args.waveforms)
-    logging.info("number of utterances = %d", len(file_list))
+        wav_list = read_txt(args.waveforms)
     wav_set = "wav_%s_%s" % (args.feature_format, args.wavtype)
-    filepath_create(file_list, wav_set)
-    multi_processing(file_list, noise_shaping, args.n_jobs, wav_set, args)
+    logging.info("shaping %d utterances -> %s/", len(wav_list), wav_set)
+    multi_processing(wav_list, shape_worker, args.n_jobs, wav_set, args)
 
 
 if __name__ == "__main__":
