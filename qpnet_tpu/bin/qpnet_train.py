@@ -52,6 +52,15 @@ def get_arguments(argv=None):
     parser.add_argument("--n_devices", default=1, type=int,
                         help="data-parallel over this many devices "
                              "(batch_size must be divisible by it)")
+    parser.add_argument("--coordinator", default=None, type=str,
+                        help="multi-host: coordinator address host:port "
+                             "(or env QPNET_COORDINATOR)")
+    parser.add_argument("--n_hosts", default=None, type=int,
+                        help="multi-host: number of processes "
+                             "(or env QPNET_NUM_HOSTS)")
+    parser.add_argument("--host_id", default=None, type=int,
+                        help="multi-host: this process's id "
+                             "(or env QPNET_HOST_ID)")
     parser.add_argument("--pretrain", default=None, nargs="?", type=str,
                         help="weights-only init (the SD-update path)")
     parser.add_argument("--verbose", default=1, type=int)
@@ -102,6 +111,12 @@ def main(argv=None):
         logging.info("%s = %s", key, str(value))
     os.makedirs(args.expdir, exist_ok=True)
 
+    # multi-host (DCN) wiring must happen before any JAX backend use;
+    # no-op unless --coordinator/--n_hosts (or QPNET_* env) are given
+    from qpnet_tpu.parallel import initialize_multihost
+    multihost = initialize_multihost(args.coordinator, args.n_hosts,
+                                     args.host_id)
+
     cfg, tcfg = build_configs(args)
     run_cfg = RunConfig(model=cfg, train=tcfg,
                         feature_type=args.feature_type,
@@ -116,10 +131,15 @@ def main(argv=None):
     pretrain = (args.pretrain if args.pretrain and args.pretrain != "None"
                 else None)
     mesh = None
-    if args.n_devices > 1:
+    if multihost:
+        # the dp mesh spans every device of every host
+        from qpnet_tpu.parallel import make_mesh
+        mesh = make_mesh()
+    elif args.n_devices > 1:
         from qpnet_tpu.parallel import make_mesh
         mesh = make_mesh(args.n_devices)
-        assert args.batch_size % args.n_devices == 0,             "batch_size must be divisible by n_devices"
+        assert args.batch_size % args.n_devices == 0, \
+            "batch_size must be divisible by n_devices"
     run_training(cfg, tcfg, wav_list, feat_list, args.stats, args.expdir,
                  feature_type=args.feature_type, resume=resume,
                  pretrain=pretrain, mesh=mesh)

@@ -38,6 +38,24 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
                  pretrain: Optional[str] = None,
                  mesh=None) -> None:
     os.makedirs(expdir, exist_ok=True)
+    n_proc = jax.process_count()
+    is_lead = jax.process_index() == 0
+    local_bs = tcfg.batch_size
+    if n_proc > 1:
+        # multi-host: each host reads its slice of the corpus and feeds
+        # its share of the global batch (parallel/distributed.py)
+        from qpnet_tpu.parallel import host_shard_list
+        if mesh is None:
+            raise ValueError("multi-host training requires a mesh")
+        if tcfg.batch_size % n_proc:
+            raise ValueError(
+                f"global batch_size {tcfg.batch_size} must divide over "
+                f"{n_proc} hosts")
+        local_bs = tcfg.batch_size // n_proc
+        wav_list = host_shard_list(wav_list)
+        feat_list = host_shard_list(feat_list)
+        logging.info("host %d/%d: %d utterances, local batch %d",
+                     jax.process_index(), n_proc, len(wav_list), local_bs)
     key = jax.random.PRNGKey(tcfg.seed)
     np.random.seed(tcfg.seed)
     params = init_params(key, cfg)
@@ -97,23 +115,25 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
         feat_transform=scaler.transform,
         feature_type=feature_type,
         batch_length=tcfg.batch_length,
-        batch_size=tcfg.batch_size,
+        batch_size=local_bs,
         max_length=tcfg.max_length,
         f0_threshold=tcfg.f0_threshold,
-        shuffle=True, seed=tcfg.seed, loop=True)
+        shuffle=True, seed=tcfg.seed + jax.process_index(), loop=True)
 
     loss_sum, total_t = 0.0, 0.0
     logging.info("training start!")
     if mesh is not None:
-        from qpnet_tpu.parallel import shard_batch
+        from qpnet_tpu.parallel import global_min_scalar, make_global_batch
 
     for i in range(iterations, tcfg.iters):
         start = time.time()
         batch_np = generator.next()
         if mesh is not None:
-            batch = shard_batch(
+            batch = make_global_batch(
                 mesh, {k: v for k, v in batch_np.items() if np.ndim(v) > 0})
-            batch["valid_len"] = jnp.asarray(batch_np["valid_len"])
+            # every host must mask the same loss positions
+            batch["valid_len"] = jnp.asarray(
+                global_min_scalar(batch_np["valid_len"]))
         else:
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         state, loss = step_fn(state, batch)
@@ -128,11 +148,12 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
                          eta // 3600, (eta % 3600) // 60, eta % 60)
             loss_record.append(avg)
             loss_sum, total_t = 0.0, 0.0
-        if (i + 1) % tcfg.checkpoint_interval == 0:
+        if (i + 1) % tcfg.checkpoint_interval == 0 and is_lead:
             save_checkpoint(expdir, state.params, state.opt_state, i + 1)
             logging.info("%d-iter checkpoint created.", i + 1)
 
-    save_final(expdir, state.params)
-    logging.info("final checkpoint created.")
-    with open(flossyml, "w", encoding="utf-8") as yf:
-        yaml.safe_dump([float(x) for x in loss_record], yf)
+    if is_lead:
+        save_final(expdir, state.params)
+        logging.info("final checkpoint created.")
+        with open(flossyml, "w", encoding="utf-8") as yf:
+            yaml.safe_dump([float(x) for x in loss_record], yf)
