@@ -38,7 +38,10 @@ def main():
                     choices=["sampling", "argmax"])
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
-    ap.add_argument("--quantize", default="none", choices=["none", "int8"])
+    ap.add_argument("--quantize", default="none",
+                choices=["none", "w8a8", "int8_weights"],
+                help="w8a8: pallas dynamic int8; int8_weights: "
+                     "XLA weight-only dequant")
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "xla"])
     args = ap.parse_args()

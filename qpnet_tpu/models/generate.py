@@ -60,7 +60,7 @@ def _quantize_int8(w: jnp.ndarray):
 def _fused_weights(params: Params, dtype, quantize: str = "none"):
     """Pre-concatenate per-layer weights for the one-matmul-per-block step.
 
-    quantize="int8" stores the two large per-block matrices as int8 with
+    quantize="int8_weights" stores the two large per-block matrices as int8 with
     per-column scales — weight-only quantization that halves the per-step
     HBM weight traffic, which is the AR generation bottleneck (the whole
     24M-param model streams from HBM every emitted sample).
@@ -74,7 +74,7 @@ def _fused_weights(params: Params, dtype, quantize: str = "none"):
             "b_skip": p["b_skip"].astype(jnp.float32),
             "b_res": p["b_res"].astype(jnp.float32),
         }
-        if quantize == "int8":
+        if quantize == "int8_weights":
             d["W_in_q"], d["s_in"] = _quantize_int8(W_in)
             d["W_out_q"], d["s_out"] = _quantize_int8(W_out)
         else:
@@ -115,22 +115,17 @@ def _prime_activations(params: Params, cfg: ModelConfig,
     return acts  # len = 1 + nF + nA; acts[i] is input of layer i
 
 
-def _ring_from_tail(act: jnp.ndarray, size: int, t0: int) -> jnp.ndarray:
-    """Place act[:, t0-size : t0] into ring slots (tau mod size)."""
-    tail = act[:, t0 - size: t0]  # (B, size, R), tail[:, j] is time t0-size+j
-    return jnp.roll(tail, t0, axis=1)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_steps", "maxd", "mode", "compute_dtype",
-                     "quantize"))
+                     "quantize", "const_seed"))
 def _generate_scan(params: Params, cfg: ModelConfig,
                    x_seed: jnp.ndarray, h: jnp.ndarray, d: jnp.ndarray,
                    key: jax.Array, n_steps: int, maxd: int,
                    mode: str = "sampling",
                    compute_dtype=jnp.bfloat16,
-                   quantize: str = "none") -> jnp.ndarray:
+                   quantize: str = "none",
+                   const_seed: bool = False) -> jnp.ndarray:
     """Core compiled generation.
 
     Args:
@@ -168,7 +163,7 @@ def _generate_scan(params: Params, cfg: ModelConfig,
     sizesA = [maxd * dil for dil in dilsA]
     bufsF, bufsA = _prime_ring_buffers(
         params, cfg, None, h_up[:, 0], maxd, compute_dtype, t0=rf,
-        x_seed_alias=x_seed)
+        x_seed_alias=x_seed, const_seed=const_seed)
 
     def step(carry, inp):
         (x_prev, x_cur, bufsF, bufsA, t) = carry
@@ -236,23 +231,49 @@ def _generate_scan(params: Params, cfg: ModelConfig,
 
 def _prime_ring_buffers(params: Params, cfg: ModelConfig,
                         x_seed, h0_up, maxd: int, compute_dtype, t0: int,
-                        x_seed_alias=None):
+                        x_seed_alias=None, const_seed: bool = False,
+                        ring_pad: int = 0):
     """Teacher-forced priming pass shared by both engines; returns per-layer
     ring buffers laid out for a consumer whose first step is time `t0`
     (the XLA scan counts absolute time from rf; the pallas kernel counts
     from 0 — rolling for the wrong origin misplaces the primed history
-    whenever rf % size != 0)."""
+    whenever rf % size != 0).
+
+    const_seed=True (the recipe case: a single-sample seed, so the padded
+    history is ALL mid-scale): with constant inputs and d=1, the layer
+    activations are bitwise time-invariant once past the d=1 receptive
+    field (~62 positions), so the priming pass runs over a short window and
+    the final activation broadcasts into every ring slot — identical
+    buffers at a fraction of the FLOPs (the full pass is O(rf)=O(maxd))."""
     if x_seed is None:
         x_seed = x_seed_alias
     B = x_seed.shape[0]
     rf = cfg.receptiveF + cfg.receptiveA * maxd + cfg.receptive_causal
+    sizesF = list(cfg.dilationsF)
+    # ring_pad=1 for the pallas kernel, whose adaptive rings carry one
+    # extra slot (write-before-read serves the r=0 look-back)
+    sizesA = [maxd * dil + ring_pad for dil in cfg.dilationsA]
+    if const_seed:
+        # d=1 receptive field + margin; independent of maxd
+        W = (cfg.receptive_causal + cfg.receptiveF
+             + sum(cfg.dilationsA) + 16)
+        x_ctx = jnp.broadcast_to(x_seed[:, :1], (B, W))
+        h_up_ctx = jnp.broadcast_to(jnp.asarray(h0_up)[:, None, :],
+                                    (B, W, h0_up.shape[-1]))
+        d_ctx = jnp.ones((B, W), jnp.float32)
+        acts = _prime_activations(params, cfg, x_ctx, h_up_ctx, d_ctx,
+                                  compute_dtype)
+        bufsF = [jnp.broadcast_to(acts[i][:, -1:], (B, s, acts[i].shape[-1]))
+                 for i, s in enumerate(sizesF)]
+        bufsA = [jnp.broadcast_to(acts[len(sizesF) + i][:, -1:],
+                                  (B, s, acts[0].shape[-1]))
+                 for i, s in enumerate(sizesA)]
+        return bufsF, bufsA
     h_up_ctx = jnp.broadcast_to(jnp.asarray(h0_up)[:, None, :],
                                 (B, rf, h0_up.shape[-1]))
     d_ctx = jnp.ones((B, rf), jnp.float32)
     acts = _prime_activations(params, cfg, jnp.asarray(x_seed[:, :-1]),
                               h_up_ctx, d_ctx, compute_dtype)
-    sizesF = list(cfg.dilationsF)
-    sizesA = [maxd * dil for dil in cfg.dilationsA]
     # tail act[:, rf-size:rf] holds times t0-size..t0-1; slot of time tau
     # is tau mod size == (j + t0) mod size for tail index j
     bufsF = [jnp.roll(acts[i][:, rf - s: rf], t0, axis=1)
@@ -262,45 +283,97 @@ def _prime_ring_buffers(params: Params, cfg: ModelConfig,
     return bufsF, bufsA
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "maxd", "n_steps", "mode", "interpret",
-                     "quantize"))
-def _pallas_device_path(params, cfg, x_seed, h_pad, d_frames, seed,
-                        maxd, n_steps, mode, interpret, quantize="none"):
-    """Everything device-side in ONE jit: weight packing, the priming pass,
-    buffer layout, and the mega-kernel itself.  (Running these eagerly costs
-    seconds of per-op dispatch + host round-trips per call.)"""
-    from qpnet_tpu.ops.gen_kernel import AUX_PAD, pack_weights, pallas_generate
+def _pallas_device_core(params, cfg, x_seed, h_pad, d_frames, seed,
+                        b_offset, maxd, n_steps, mode, interpret,
+                        quantize="none", const_seed: bool = False):
+    """Device-side pallas pipeline: weight packing, the priming pass,
+    buffer layout, and the mega-kernel.  Pure traced function — jitted
+    directly for single-chip, or called per-shard under shard_map."""
+    from qpnet_tpu.ops.gen_kernel import pack_weights, pallas_generate
     B = x_seed.shape[0]
-    R = cfg.n_resch
     A = cfg.n_aux
     packed = pack_weights(params, cfg, quantize)
     h0_up = h_pad[0, :, :A] * params["up_w"][0] + params["up_b"]
     bufsF, bufsA = _prime_ring_buffers(params, cfg, x_seed, h0_up, maxd,
-                                       jnp.float32, t0=0)
+                                       jnp.float32, t0=0,
+                                       const_seed=const_seed, ring_pad=1)
     bufF0 = jnp.concatenate(
         [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsF], axis=0)
     bufA0 = jnp.concatenate(
         [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsA], axis=0)
     x0 = jnp.stack([x_seed[:, -2], x_seed[:, -1]]).astype(jnp.int32)
-    return pallas_generate(
+    out = pallas_generate(
         packed, cfg, bufF0, bufA0, x0,
         h_pad.astype(jnp.bfloat16), d_frames, seed,
         B=B, maxd=maxd, n_steps=n_steps, mode=mode, interpret=interpret,
-        quantize=quantize)[0]
+        quantize=quantize, b_offset=b_offset)[0]
+    # mu-law classes fit uint8: quarters the device->host transfer (the
+    # tunnel round-trip is a fixed cost of every decode call)
+    return out.astype(jnp.uint8)
 
 
-def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
-                 h: np.ndarray, d: np.ndarray, n_steps: int, maxd: int,
-                 seed: int, mode: str, interpret: bool,
-                 quantize: str = "none") -> np.ndarray:
-    """Generation via the VMEM-resident mega-kernel (ops/gen_kernel.py)."""
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "maxd", "n_steps", "mode", "interpret",
+                     "quantize", "const_seed"))
+def _pallas_device_path(params, cfg, x_seed, h_pad, d_frames, seed,
+                        maxd, n_steps, mode, interpret, quantize="none",
+                        const_seed: bool = False):
+    """Single-chip jit of the pallas pipeline.  (Running the prologue
+    eagerly costs seconds of per-op dispatch + host round-trips.)"""
+    return _pallas_device_core(params, cfg, x_seed, h_pad, d_frames, seed,
+                               jnp.int32(0), maxd, n_steps, mode, interpret,
+                               quantize, const_seed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "maxd", "n_steps", "mode", "interpret",
+                     "quantize", "const_seed", "mesh"))
+def _pallas_sharded_path(params, cfg, x_seed, h_pad, d_frames, seed,
+                         maxd, n_steps, mode, interpret, quantize,
+                         const_seed, mesh):
+    """Multi-chip pallas decode: the utterance batch shards over the `dp`
+    mesh axis, each chip runs the full VMEM-resident kernel on its slice —
+    the mesh-native form of the reference's per-GPU process fan-out
+    (qpnet_decode.py:322-331) at full per-chip speed.  The counter-based
+    sampling PRNG keys off the GLOBAL utterance index, so output is
+    bit-identical to the single-chip engine."""
+    from jax.sharding import PartitionSpec as P
+    shard_map = jax.shard_map
+
+    n_dev = mesh.devices.size
+    B = x_seed.shape[0]
+    local_B = B // n_dev
+
+    def per_shard(params, x_seed, h_pad, d_frames, seed):
+        b_off = jax.lax.axis_index("dp") * local_B
+        return _pallas_device_core(
+            params, cfg, x_seed, h_pad, d_frames, seed, b_off,
+            maxd, n_steps, mode, interpret, quantize, const_seed)
+
+    return shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P("dp"), P(None, "dp"), P(None, None, "dp"), P()),
+        out_specs=P(None, None, "dp"),
+        check_vma=False,
+    )(params, x_seed, h_pad, d_frames, seed)
+
+
+def _pallas_host_prep(cfg: ModelConfig, h: np.ndarray, d: np.ndarray,
+                      n_steps: int):
+    """Frame-major kernel input layout (h as bf16 — the kernel computes in
+    bf16 anyway, and it halves the host->device transfer)."""
+    import ml_dtypes
     from qpnet_tpu.ops.gen_kernel import AUX_PAD
     B, F, A = h.shape
     up = cfg.upsampling_factor
-    # bucket n_steps to limit recompiles (one compile per ~0.5 s of audio)
-    chunk = 100 * up
+    # bucket n_steps to 10-frame granularity: coarser buckets waste real
+    # generation steps (a 100-frame bucket padded 2 s of audio by 25%),
+    # finer ones recompile per utterance length.  Decode batches are
+    # sorted by length, so one compile serves a whole batch and the
+    # in-process cache serves repeats.
+    chunk = 10 * up
     n_pad_steps = -(-n_steps // chunk) * chunk
     F_needed = -(-n_pad_steps // up)
     h_pad = np.zeros((F_needed, B, AUX_PAD), np.float32)
@@ -311,15 +384,57 @@ def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
     d_fr = d[:, ::up]
     d_frames[:min(d_fr.shape[1], F_needed), 0] = \
         np.moveaxis(d_fr, 0, 1)[:F_needed]
+    return h_pad.astype(ml_dtypes.bfloat16), d_frames, n_pad_steps
 
+
+def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
+                 h: np.ndarray, d: np.ndarray, n_steps: int, maxd: int,
+                 seed: int, mode: str, interpret: bool,
+                 quantize: str = "none",
+                 const_seed: bool = False) -> np.ndarray:
+    """Generation via the VMEM-resident mega-kernel (ops/gen_kernel.py)."""
+    h_pad, d_frames, n_pad_steps = _pallas_host_prep(cfg, h, d, n_steps)
     out = _pallas_device_path(
         params, cfg, jnp.asarray(x_seed, jnp.int32),
         jnp.asarray(h_pad), jnp.asarray(d_frames),
         jnp.asarray(seed, jnp.int32),
         maxd=maxd, n_steps=n_pad_steps, mode=mode, interpret=interpret,
-        quantize=quantize)
-    out = np.asarray(jax.device_get(out))[:, 0, :]  # (steps, B)
+        quantize=quantize, const_seed=const_seed)
+    out = np.asarray(jax.device_get(out)).astype(np.int32)[:, 0, :]
     return np.moveaxis(out, 0, 1)[:, :n_steps]
+
+
+def _pallas_mesh_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
+                      h: np.ndarray, d: np.ndarray, n_steps: int, maxd: int,
+                      seed: int, mode: str, interpret: bool, quantize: str,
+                      const_seed: bool, mesh, n_dev: int) -> np.ndarray:
+    """Sharded pallas decode: pad the batch to a multiple of the mesh size,
+    shard over dp, run the kernel per chip (see _pallas_sharded_path)."""
+    from qpnet_tpu.parallel import batch_sharding, replicated_sharding
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    B = h.shape[0]
+    B_pad = -(-B // n_dev) * n_dev
+    if B_pad != B:
+        pad = B_pad - B
+        x_seed = np.concatenate([x_seed, np.repeat(x_seed[-1:], pad, 0)], 0)
+        h = np.concatenate([h, np.repeat(h[-1:], pad, 0)], 0)
+        d = np.concatenate([d, np.repeat(d[-1:], pad, 0)], 0)
+    h_pad, d_frames, n_pad_steps = _pallas_host_prep(cfg, h, d, n_steps)
+
+    repl = replicated_sharding(mesh)
+    params_dev = jax.device_put(params, repl)
+    x_dev = jax.device_put(jnp.asarray(x_seed, jnp.int32),
+                           batch_sharding(mesh, 2))
+    h_dev = jax.device_put(jnp.asarray(h_pad),
+                           NamedSharding(mesh, P(None, "dp", None)))
+    d_dev = jax.device_put(jnp.asarray(d_frames),
+                           NamedSharding(mesh, P(None, None, "dp")))
+    out = _pallas_sharded_path(
+        params_dev, cfg, x_dev, h_dev, d_dev, jnp.asarray(seed, jnp.int32),
+        maxd, n_pad_steps, mode, interpret, quantize, const_seed, mesh)
+    out = np.asarray(jax.device_get(out)).astype(np.int32)[:, 0, :]
+    return np.moveaxis(out, 0, 1)[:B, :n_steps]
 
 
 def pallas_engine_available(cfg: ModelConfig, B: int, maxd: int,
@@ -364,6 +479,13 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
       d: (B, F*up) float32 pitch-dependent dilation factors at sample rate.
     Returns:
       list of (n_samples_i,) int32 arrays of generated mu-law samples.
+
+    Seed-history caveat: priming replicates h_up[:, 0] and d=1 over the
+    whole history window.  For the recipe's single-sample seed this is
+    exactly the reference's padding behavior (qpnet.py:354-364); for a
+    MULTI-sample seed the reference would use the true aux/dilation track
+    of the provided history, so outputs can deviate near the seed boundary
+    (a warning is logged).
     """
     B, F, A = h.shape
     maxd = bucket_maxd(float(np.nanmax(np.ceil(d))) if d.size else 1.0)
@@ -381,17 +503,67 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
                    ((0, 0), (0, max(0, n_steps - d.shape[1]))),
                    constant_values=1.0)[:, :n_steps]
 
-    if engine == "pallas" and mesh is not None:
-        raise ValueError("engine='pallas' is single-chip; multi-chip decode "
-                         "shards the batch via the XLA engine (mesh=...)")
+    if quantize == "int8":
+        raise ValueError(
+            "quantize='int8' is ambiguous: use 'w8a8' (pallas engine: "
+            "dynamic activation + weight int8) or 'int8_weights' (XLA scan "
+            "engine: weight-only dequantized matmul)")
+    # engine selection: the pallas mega-kernel streams d at frame rate and
+    # needs the resident state to fit VMEM; anything else runs the XLA scan
+    frame_const = _frame_constant(d_gen, cfg.upsampling_factor)
+    if engine == "pallas" and not frame_const:
+        raise ValueError(
+            "engine='pallas' streams dilation factors at frame rate; this "
+            "input varies d within frames, which would silently change the "
+            "adaptive look-backs — use engine='auto' or 'xla'")
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    local_B = -(-B // n_dev)
+    pallas_fit = pallas_engine_available(cfg, local_B, maxd, quantize)
+    if quantize == "w8a8" and engine == "xla":
+        raise ValueError("quantize='w8a8' is a pallas-engine scheme")
+    if quantize == "int8_weights" and engine == "pallas":
+        raise ValueError("quantize='int8_weights' is an XLA-engine scheme")
     use_pallas = (engine == "pallas"
-                  or (engine == "auto" and mesh is None
-                      and pallas_engine_available(cfg, B, maxd, quantize)
-                      and _frame_constant(d_gen, cfg.upsampling_factor)))
+                  or (engine == "auto" and pallas_fit and frame_const
+                      and quantize != "int8_weights"))
+    if engine == "auto" and not use_pallas:
+        reasons = []
+        if not frame_const:
+            reasons.append("dilation factors vary within frames")
+        if not pallas_fit:
+            import jax as _jax
+            platform = _jax.devices()[0].platform
+            reasons.append(
+                f"VMEM budget exceeded (B={local_B}, maxd={maxd})"
+                if platform in ("tpu", "axon") else f"platform={platform}")
+        import logging as _logging
+        _logging.info(
+            "batch_fast_generate: using the XLA scan engine (~3x slower "
+            "per chip than pallas) because %s", "; ".join(reasons))
+    # single-sample seeds (the recipe case) make the whole priming history
+    # constant, enabling the short fixed-point priming pass in both engines
+    const_seed = x.shape[1] <= 1
+    if not const_seed:
+        import logging as _logging
+        _logging.warning(
+            "batch_fast_generate: %d-sample seed history primes with "
+            "replicated first-frame aux and d=1 (not the true history "
+            "track); outputs near the seed boundary deviate from the "
+            "reference's continuation semantics", x.shape[1])
+    if use_pallas and mesh is not None:
+        # batch sharded over dp; per-chip VMEM-resident kernels; the
+        # counter PRNG keys off global utterance indices so the output is
+        # bit-identical to the single-chip engine
+        samples = _pallas_mesh_path(
+            params, cfg, np.asarray(x_seed, np.int32),
+            np.asarray(h, np.float32), d_gen, n_steps, maxd, seed, mode,
+            interpret, quantize, const_seed, mesh, n_dev)
+        return [samples[i, : n] for i, n in enumerate(n_samples_list)]
     if use_pallas:
         samples = _pallas_path(params, cfg, np.asarray(x_seed, np.int32),
                                np.asarray(h, np.float32), d_gen, n_steps,
-                               maxd, seed, mode, interpret, quantize)
+                               maxd, seed, mode, interpret, quantize,
+                               const_seed=const_seed)
         return [samples[i, : n] for i, n in enumerate(n_samples_list)]
 
     key = jax.random.PRNGKey(seed)
@@ -412,7 +584,8 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
     samples = _generate_scan(
         params, cfg, x_in, h_in, d_in,
         key, n_steps=n_steps, maxd=maxd, mode=mode,
-        compute_dtype=compute_dtype, quantize=quantize)
+        compute_dtype=compute_dtype, quantize=quantize,
+        const_seed=const_seed)
     samples = np.asarray(jax.device_get(samples))
     return [samples[i, : n] for i, n in enumerate(n_samples_list)]
 
@@ -435,15 +608,15 @@ class StreamingGenerator:
     def __init__(self, params: Params, cfg: ModelConfig, B: int,
                  maxd: int = 32, seed: int = 100, mode: str = "sampling",
                  min_chunk_samples: int = 5500, interpret: bool = False):
-        import math
         from qpnet_tpu.ops.gen_kernel import AUX_PAD, pack_weights
         self.cfg, self.B, self.maxd = cfg, B, maxd
         self.seed, self.mode = seed, mode
         self.interpret = interpret
         up = cfg.upsampling_factor
-        ring_lcm = math.lcm(up, maxd * max(cfg.dilationsA),
-                            max(cfg.dilationsF))
-        self.chunk = -(-min_chunk_samples // ring_lcm) * ring_lcm
+        # the kernel's ring slots / upsampler phase / PRNG key off the
+        # ABSOLUTE sample index (step_offset), so any whole-frame chunk
+        # continues exactly
+        self.chunk = -(-min_chunk_samples // up) * up
         self.chunk_frames = self.chunk // up
         self.aux_pad = AUX_PAD
         self._packed = pack_weights(params, cfg)
@@ -460,7 +633,8 @@ class StreamingGenerator:
         h0_up = (h_first_frame * np.asarray(self._params["up_w"])[0]
                  + np.asarray(self._params["up_b"]))
         bufsF, bufsA = _prime_ring_buffers(
-            self._params, cfg, x_seed, h0_up, maxd, jnp.float32, t0=0)
+            self._params, cfg, x_seed, h0_up, maxd, jnp.float32, t0=0,
+            const_seed=True, ring_pad=1)
         bufF = jnp.concatenate(
             [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsF],
             axis=0)

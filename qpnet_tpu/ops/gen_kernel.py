@@ -47,14 +47,13 @@ def pack_weights(params: Dict[str, Any], cfg: ModelConfig,
     """Fuse + pad parameters into the kernel's resident layout (pure jnp so
     it can run inside the jitted generation prologue).
 
-    quantize="int8": the two large per-block matrices are stored int8 with
+    quantize="w8a8": the two large per-block matrices are stored int8 with
     per-output-column scales; the MXU runs int8 at twice the bf16 rate and
     the resident weight set shrinks 2x (more VMEM left for batch).
 
-    NOTE: the pallas kernel runs W8A8 (dynamic per-row activation
-    quantization, mmq below); the XLA scan engine's quantize="int8" is
-    weight-only dequantized matmul — the same flag is a different numeric
-    scheme per engine.
+    NOTE: "w8a8" is the pallas kernel's scheme (dynamic per-row activation
+    quantization, mmq below); the XLA scan engine's separate
+    "int8_weights" scheme is weight-only dequantized matmul.
     """
     R, S, Q, A = cfg.n_resch, cfg.n_skipch, cfg.n_quantize, cfg.n_aux
     layers = list(params["fixed"]) + list(params["adaptive"])
@@ -83,7 +82,7 @@ def pack_weights(params: Dict[str, Any], cfg: ModelConfig,
         : cfg.upsampling_factor].set(jnp.asarray(params["up_w"],
                                                  jnp.float32))
     out: Dict[str, Any] = {}
-    if quantize == "int8":
+    if quantize == "w8a8":
         def q8(w):
             sc = jnp.maximum(jnp.max(jnp.abs(w), axis=1, keepdims=True),
                              1e-12) / 127.0          # per (layer, col)
@@ -100,8 +99,12 @@ def pack_weights(params: Dict[str, Any], cfg: ModelConfig,
         "b_res": b_res,
         "b_skip_sum": b_skip_sum[None, :],
         "up_w": up_w,
-        "E_cur": jnp.asarray(params["embed_cur"], jnp.bfloat16),
-        "E_prev": jnp.asarray(params["embed_prev"], jnp.bfloat16),
+        # one fused (Q, 2R) embedding table: columns [:R] give E_cur[x] for
+        # this step, columns [R:] give E_prev[x] for the NEXT step — one
+        # one-hot matmul per step instead of two
+        "E_cat": jnp.concatenate(
+            [jnp.asarray(params["embed_cur"], jnp.bfloat16),
+             jnp.asarray(params["embed_prev"], jnp.bfloat16)], axis=1),
         "b_causal": jnp.asarray(params["b_causal"], jnp.float32)[None, :],
         "W_post1": jnp.asarray(params["W_post1"], jnp.bfloat16),
         "W_post2": jnp.asarray(params["W_post2"], jnp.bfloat16),
@@ -117,28 +120,34 @@ def vmem_cost_bytes(cfg: ModelConfig, B: int, maxd: int,
     path when this exceeds the budget (large maxd buckets / batches)."""
     R, S, Q = cfg.n_resch, cfg.n_skipch, cfg.n_quantize
     L = len(cfg.dilationsF) + len(cfg.dilationsA)
-    wbytes = 1 if quantize == "int8" else 2
+    wbytes = 1 if quantize == "w8a8" else 2
     weights = wbytes * (L * (2 * R) * (2 * R) + L * R * (S + R)) \
         + 2 * (L * AUX_PAD * 2 * R + 2 * Q * R + 2 * S * S)
     bufF = 2 * sum(cfg.dilationsF) * B * R
-    bufA = 2 * maxd * sum(cfg.dilationsA) * B * R
-    return weights + bufF + bufA + (1 << 23)
+    bufA = 2 * (maxd * sum(cfg.dilationsA) + len(cfg.dilationsA)) * B * R
+    aux_cache = 4 * L * B * 2 * R
+    return weights + bufF + bufA + aux_cache + (1 << 23)
 
 
 def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                  interpret: bool = False, quantize: str = "none"):
     if mode not in ("sampling", "argmax"):
         raise ValueError("mode should be sampling or argmax")
+    import os
+    ablate = os.environ.get("QPNET_KERNEL_ABLATE", "")  # perf triage only
     R, S, Q = cfg.n_resch, cfg.n_skipch, cfg.n_quantize
     dilsF, dilsA = cfg.dilationsF, cfg.dilationsA
     nF, nA = len(dilsF), len(dilsA)
     L = nF + nA
     up = cfg.upsampling_factor
     sizesF = list(dilsF)
-    sizesA = [maxd * d for d in dilsA]
+    # +1 slot so this step's write never collides with the deepest
+    # look-back read (r spans [0, maxd*dil]; write-before-read serves r=0)
+    sizesA = [maxd * d + 1 for d in dilsA]
     offF = np.cumsum([0] + sizesF)[:-1].tolist()
     offA = np.cumsum([0] + sizesA)[:-1].tolist()
     bf16 = jnp.bfloat16
+    UNROLL = 2 if up % 2 == 0 else 1
 
     def mm(a, b):
         return jax.lax.dot_general(
@@ -162,16 +171,17 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                h_ref, d_ref,                  # (1,B,AUX_PAD) bf16 / (1,1,B) f32
                W_in_ref, W_out_ref, s_in_ref, s_out_ref,
                W_aux_ref, c_ref, b_res_ref,
-               b_skip_ref, E_cur_ref, E_prev_ref, b_causal_ref,
+               b_skip_ref, E_cat_ref, b_causal_ref,
                W_post1_ref, W_post2_ref, b_post1_ref, b_post2_ref,
                bufF0_ref, bufA0_ref, x0_ref,  # primed state
-               out_ref,                       # (1, B) int32 output block
+               out_ref,                       # (up, 1, B) uint8 output block
                bufF_out_ref, bufA_out_ref, x_out_ref,  # carried state out
-               bufF, bufA, x_state, init_sems):
-        t = pl.program_id(0)
-        n_total = pl.num_programs(0)
+               bufF, bufA, x_state, aux_cache, e_prev, pastA_s,
+               init_sems):
+        g_idx = pl.program_id(0)
+        n_total = pl.num_programs(0) * UNROLL
 
-        @pl.when(t == 0)
+        @pl.when(g_idx == 0)
         def _init():
             # primed buffers live in HBM (keeping them VMEM-resident would
             # double the ring-buffer footprint); one DMA each at step 0
@@ -183,117 +193,169 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
             cp2.wait()
             x_state[...] = x0_ref[...]
 
-        w_t = upw_ref[jax.lax.rem(t, up)]
-        h_f = h_ref[0]                         # (B, AUX_PAD)
+        # per-sample body; called UNROLL times per grid step so
+        # the grid/block bookkeeping amortizes over samples
+        def one_step(t):
+            # absolute sample index: ring slots, the upsampler phase and
+            # the PRNG all key off it, so chunked calls (step_offset) are
+            # position-exact regardless of the chunk length
+            t_abs = t + seed_ref[1]
+            w_t = upw_ref[jax.lax.rem(t_abs, up)]
 
-        # causal layer: embeddings via one-hot matmuls
-        iota_q = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
-        oh_cur = (iota_q == x_state[1][:, None]).astype(bf16)
-        oh_prev = (iota_q == x_state[0][:, None]).astype(bf16)
-        o = (mm(oh_cur, E_cur_ref[...]) + mm(oh_prev, E_prev_ref[...])
-             + b_causal_ref[...]).astype(bf16)                 # (B, R)
+            # the aux features are frame-rate: the 16 aux projections change only
+            # every `up` samples, so they are recomputed at frame boundaries and
+            # read from scratch in between (reference upsamples h then convolves,
+            # qpnet.py:263-264 — algebraically the same since the upsampler is a
+            # per-phase scalar scale + bias, folded into w_t and c_ref).
+            @pl.when(jax.lax.rem(t, up) == 0)
+            def _refresh_aux():
+                h_f = h_ref[0]                     # (B, AUX_PAD)
+                for l in range(L):
+                    aux_cache[l] = mm(h_f, W_aux_ref[l])
 
-        skip_sum = jnp.broadcast_to(b_skip_ref[...], (B, S)).astype(
-            jnp.float32)
-        d_t = d_ref[0, 0]                                       # (B,)
+            # causal layer: ONE one-hot matmul against the fused [E_cur | E_prev]
+            # table; the E_prev half is carried in scratch for the next step
+            iota_q = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
+            oh_cur = (iota_q == x_state[1][:, None]).astype(bf16)
 
-        for l in range(L):
-            if l < nF:
-                size = sizesF[l]
-                slot = jax.lax.rem(t, size)
-                past = bufF[pl.ds(offF[l] + slot, 1), :, :][0]   # (B, R)
+            @pl.when(t == 0)
+            def _init_eprev():
+                oh_prev = (iota_q == x_state[0][:, None]).astype(bf16)
+                e_prev[...] = mm(oh_prev, E_cat_ref[:, R:])
+
+            if "noembed" in ablate:
+                o = (jnp.broadcast_to(oh_cur[:, :1].astype(jnp.float32), (B, R))
+                     + b_causal_ref[...]).astype(bf16)
             else:
-                la = l - nF
-                size = sizesA[la]
-                r = jnp.round(d_t * dilsA[la]).astype(jnp.int32)
-                r = jnp.clip(r, 0, size)
-                slot_b = jax.lax.rem(t - r + 2 * size, size)     # (B,)
-                # one-hot slot selection, chunked so the 3D mask temporary
-                # stays small (a full (size,B,R) f32 copy blows VMEM)
-                slot3 = slot_b[None, :, None]                    # (1,B,1) i32
-                past = jnp.zeros((B, R), jnp.float32)
-                for c0 in range(0, size, 32):
-                    cw = min(32, size - c0)       # clamp the final chunk
-                    i3 = jax.lax.broadcasted_iota(
-                        jnp.int32, (cw, B, R), 0) + c0
-                    m3 = (i3 == slot3).astype(bf16)              # (cw,B,R)
-                    past = past + jnp.sum(
-                        bufA[offA[la] + c0: offA[la] + c0 + cw, :, :]
-                        * m3, axis=0)
-                # r==0 -> current sample (teacher-forced idx = t - 0);
-                # blend with an f32 mask (bool minor-dim inserts are
-                # unsupported by Mosaic)
-                m0 = (r == 0).astype(jnp.float32)[:, None]
-                past = m0 * o.astype(jnp.float32) + (1.0 - m0) * past
-            xin = jnp.concatenate([o, past.astype(bf16)], axis=-1)
-            if quantize == "int8":
-                z_main = mmq(xin.astype(jnp.float32), W_in_ref[l],
-                             s_in_ref[l])
-            else:
-                z_main = mm(xin, W_in_ref[l])
-            z = z_main + mm(h_f, W_aux_ref[l]) * w_t + c_ref[l]
-            g = (jax.nn.sigmoid(z[:, :R]) * jnp.tanh(z[:, R:])).astype(bf16)
-            if quantize == "int8":
-                outp = mmq(g.astype(jnp.float32), W_out_ref[l], s_out_ref[l])
-            else:
-                outp = mm(g, W_out_ref[l])
-            skip_sum = skip_sum + outp[:, :S]
-            wslot = jax.lax.rem(t, size)
-            if l < nF:
-                bufF[pl.ds(offF[l] + wslot, 1), :, :] = o[None].astype(bf16)
-            else:
-                bufA[pl.ds(offA[l - nF] + wslot, 1), :, :] = \
-                    o[None].astype(bf16)
-            o = (o.astype(jnp.float32) + outp[:, S:]
-                 + b_res_ref[l]).astype(bf16)
+                z2 = mm(oh_cur, E_cat_ref[...])                    # (B, 2R)
+                o = (z2[:, :R] + e_prev[...]
+                     + b_causal_ref[...]).astype(bf16)             # (B, R)
+                e_prev[...] = z2[:, R:]
 
-        u = jnp.maximum(skip_sum, 0.0)
-        u = jnp.maximum(mm(u.astype(bf16), W_post1_ref[...])
-                        + b_post1_ref[...], 0.0)
-        logits = mm(u.astype(bf16), W_post2_ref[...]) + b_post2_ref[...]
+            skip_sum = jnp.broadcast_to(b_skip_ref[...], (B, S)).astype(
+                jnp.float32)
 
-        @pl.when(t == n_total - 1)
-        def _export_state():
-            # stream the final ring state back to HBM so a follow-up chunk
-            # can continue exactly where this one stopped
-            cp1 = pltpu.make_async_copy(bufF, bufF_out_ref, init_sems.at[0])
-            cp2 = pltpu.make_async_copy(bufA, bufA_out_ref, init_sems.at[1])
-            cp1.start()
-            cp2.start()
-            cp1.wait()
-            cp2.wait()
+            for l in range(L):
+                if l < nF:
+                    size = sizesF[l]
+                    slot = jax.lax.rem(t_abs, size)
+                    past = bufF[pl.ds(offF[l] + slot, 1), :, :][0]   # (B, R)
+                else:
+                    # pitch-adaptive look-back r = round(d*dil) differs per
+                    # utterance: write this step's o first (so r=0 reads it
+                    # back — teacher-forced idx t - 0), then gather each
+                    # utterance's slot with scalar ring arithmetic.  The
+                    # scalar loop reads 4*B rows/step; the one-hot masked
+                    # reduce it replaces read the ENTIRE ring every step
+                    # (~10 MB/step at B=20, ~30% of the step time).
+                    la = l - nF
+                    size = sizesA[la]
+                    wslot = jax.lax.rem(t_abs, size)
+                    bufA[pl.ds(offA[la] + wslot, 1), :, :] = \
+                        o[None].astype(bf16)
+                    for b in range(B):
+                        if "noadapt" in ablate:
+                            r_b = dilsA[la]
+                        else:
+                            d_b = d_ref[0, 0, b]
+                            r_b = jnp.round(d_b * dilsA[la]).astype(
+                                jnp.int32)
+                            r_b = jnp.clip(r_b, 0, size - 1)
+                        slot_b = jax.lax.rem(t_abs - r_b + 2 * size, size)
+                        pastA_s[pl.ds(b, 1), :] = bufA[
+                            pl.ds(offA[la] + slot_b, 1), pl.ds(b, 1), :][0]
+                    past = pastA_s[...]
+                xin = jnp.concatenate([o, past.astype(bf16)], axis=-1)
+                if "nomm" in ablate:
+                    # ablation: keep dataflow alive but skip the big matmuls
+                    z_main = jnp.broadcast_to(
+                        xin[:, :1].astype(jnp.float32), (B, 2 * R))
+                elif quantize == "w8a8":
+                    z_main = mmq(xin.astype(jnp.float32), W_in_ref[l],
+                                 s_in_ref[l])
+                else:
+                    z_main = mm(xin, W_in_ref[l])
+                z = z_main + aux_cache[l] * w_t + c_ref[l]
+                if "nogate" in ablate:
+                    g = (z[:, :R] * 0.25 * z[:, R:]).astype(bf16)
+                else:
+                    g = (jax.nn.sigmoid(z[:, :R])
+                         * jnp.tanh(z[:, R:])).astype(bf16)
+                if "nomm" in ablate:
+                    outp = jnp.broadcast_to(
+                        g[:, :1].astype(jnp.float32), (B, S + R))
+                elif quantize == "w8a8":
+                    outp = mmq(g.astype(jnp.float32), W_out_ref[l], s_out_ref[l])
+                else:
+                    outp = mm(g, W_out_ref[l])
+                skip_sum = skip_sum + outp[:, :S]
+                if l < nF:
+                    wslot = jax.lax.rem(t_abs, size)
+                    bufF[pl.ds(offF[l] + wslot, 1), :, :] = \
+                        o[None].astype(bf16)
+                o = (o.astype(jnp.float32) + outp[:, S:]
+                     + b_res_ref[l]).astype(bf16)
 
-        if mode == "sampling":
-            if interpret:
-                # CPU interpret mode has no pltpu PRNG: xorshift-style hash
-                # of (seed, t, lane) — smoke-test quality only
-                base = (seed_ref[0] + (t + seed_ref[1])
-                        * jnp.uint32(2654435761)).astype(jnp.uint32)
-                idx = jax.lax.broadcasted_iota(jnp.uint32, (B, Q), 0) * Q \
-                    + jax.lax.broadcasted_iota(jnp.uint32, (B, Q), 1)
+            u = jnp.maximum(skip_sum, 0.0)
+            if "nopost" in ablate:
+                logits = jnp.broadcast_to(u[:, :1], (B, Q))
+            else:
+                u = jnp.maximum(mm(u.astype(bf16), W_post1_ref[...])
+                                + b_post1_ref[...], 0.0)
+                logits = mm(u.astype(bf16), W_post2_ref[...]) + b_post2_ref[...]
+
+            @pl.when(t == n_total - 1)
+            def _export_state():
+                # stream the final ring state back to HBM so a follow-up chunk
+                # can continue exactly where this one stopped
+                cp1 = pltpu.make_async_copy(bufF, bufF_out_ref, init_sems.at[0])
+                cp2 = pltpu.make_async_copy(bufA, bufA_out_ref, init_sems.at[1])
+                cp1.start()
+                cp2.start()
+                cp1.wait()
+                cp2.wait()
+
+            if mode == "sampling":
+                # Counter-based PRNG: a murmur-style finalizer hash of
+                # (seed, global step, GLOBAL batch index, class).  Unlike the
+                # on-core hardware PRNG, the stream depends only on logical
+                # position, so it is (a) identical in interpret and TPU modes
+                # — the sampling path is CPU-testable bit-for-bit, (b)
+                # invariant to chunked execution (global step via seed_ref[1])
+                # and (c) invariant to batch sharding (global utterance index
+                # via seed_ref[2]) — multi-chip decode reproduces single-chip
+                # output exactly.  seed and step are mixed multiplicatively so
+                # adjacent seeds do not alias into time-shifted streams.
+                base = ((seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+                        ^ (t_abs.astype(jnp.uint32)
+                           * jnp.uint32(2654435761)))
+                idx = ((jax.lax.broadcasted_iota(jnp.uint32, (B, Q), 0)
+                        + seed_ref[2].astype(jnp.uint32)) * jnp.uint32(Q)
+                       + jax.lax.broadcasted_iota(jnp.uint32, (B, Q), 1))
                 v = base + idx * jnp.uint32(0x9E3779B9)
                 v = v ^ (v >> 16); v = v * jnp.uint32(0x7FEB352D)
                 v = v ^ (v >> 15); v = v * jnp.uint32(0x846CA68B)
                 v = v ^ (v >> 16)
                 bits = v
+                bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+                unif = bits24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+                gumbel = -jnp.log(-jnp.log(unif))
+                x_next = jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
             else:
-                pltpu.prng_seed(seed_ref[0] + seed_ref[1] + t)
-                bits = pltpu.bitcast(pltpu.prng_random_bits((B, Q)),
-                                     jnp.uint32)
-            bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
-            unif = bits24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
-            gumbel = -jnp.log(-jnp.log(unif))
-            x_next = jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
-        else:
-            x_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                x_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-        out_ref[0, 0, :] = x_next
-        x_state[0, :] = x_state[1, :]
-        x_state[1, :] = x_next
+            # output block covers one frame (up samples): the HBM DMA fires per
+            # frame, not per sample
+            out_ref[pl.ds(jax.lax.rem(t, up), 1), 0, :] = x_next[None]
+            x_state[0, :] = x_state[1, :]
+            x_state[1, :] = x_next
 
-        @pl.when(t == n_total - 1)
-        def _export_x():
-            x_out_ref[...] = x_state[...]
+            @pl.when(t == n_total - 1)
+            def _export_x():
+                x_out_ref[...] = x_state[...]
+
+        for k in range(UNROLL):
+            one_step(g_idx * UNROLL + k)
 
     return kernel
 
@@ -310,7 +372,8 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
                     mode: str = "sampling",
                     interpret: bool = False,
                     quantize: str = "none",
-                    step_offset: int = 0):
+                    step_offset: int = 0,
+                    b_offset=0):
     """Run the generation kernel.
 
     bufF0: (sum(dilsF), B, R) bf16 primed fixed ring buffers, flat-packed
@@ -322,39 +385,45 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
     d_frames: (F, 1, B) f32 frame-rate dilation factors.
     step_offset: global step index of this chunk's first sample (keeps the
                  PRNG stream continuous across streamed chunks).
+    b_offset: global index of this shard's first utterance (keeps the PRNG
+              stream invariant to batch sharding over a mesh).
     Returns (samples (n_steps,1,B) i32, bufF_out, bufA_out, x_out) — the
     carried ring state enables exact chunked continuation when n_steps is
     a multiple of every ring size and the upsampling factor.
     """
     up = cfg.upsampling_factor
+    assert n_steps % up == 0, "n_steps must cover whole frames"
+    U = 2 if up % 2 == 0 else 1   # samples per grid step (matches kernel)
     kernel = _make_kernel(cfg, B, maxd, mode, interpret, quantize)
     nF, nA = len(cfg.dilationsF), len(cfg.dilationsA)
     L = nF + nA
     R = cfg.n_resch
     sumF = sum(cfg.dilationsF)
-    sumA = maxd * sum(cfg.dilationsA)
+    sumA = maxd * sum(cfg.dilationsA) + len(cfg.dilationsA)
 
     resident = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
-                          jnp.asarray(step_offset, jnp.int32)])
+                          jnp.asarray(step_offset, jnp.int32),
+                          jnp.asarray(b_offset, jnp.int32)])
     return pl.pallas_call(
         kernel,
-        grid=(n_steps,),
+        grid=(n_steps // U,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, B, AUX_PAD), lambda t: (t // up, 0, 0)),
-            pl.BlockSpec((1, 1, B), lambda t: (t // up, 0, 0)),
+            pl.BlockSpec((1, B, AUX_PAD), lambda g: ((g * U) // up, 0, 0)),
+            pl.BlockSpec((1, 1, B), lambda g: ((g * U) // up, 0, 0),
+                         memory_space=pltpu.SMEM),
             resident(), resident(), resident(), resident(),
             resident(), resident(), resident(),
-            resident(), resident(), resident(), resident(),
+            resident(), resident(), resident(),
             resident(), resident(), resident(), resident(),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             resident(),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)),
+            pl.BlockSpec((up, 1, B), lambda g: ((g * U) // up, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -363,6 +432,9 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
             pltpu.VMEM((sumF, B, R), jnp.bfloat16),
             pltpu.VMEM((sumA, B, R), jnp.bfloat16),
             pltpu.VMEM((2, B), jnp.int32),
+            pltpu.VMEM((L, B, 2 * R), jnp.float32),  # per-frame aux proj
+            pltpu.VMEM((B, R), jnp.float32),         # carried E_prev[x_cur]
+            pltpu.VMEM((B, R), jnp.bfloat16),        # adaptive gather rows
             pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=(
@@ -381,6 +453,6 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
       packed.get("s_out", jnp.ones((1, 1, 1), jnp.float32)),
       packed["W_aux"], packed["c_all"],
       packed["b_res"], packed["b_skip_sum"],
-      packed["E_cur"], packed["E_prev"], packed["b_causal"],
+      packed["E_cat"], packed["b_causal"],
       packed["W_post1"], packed["W_post2"], packed["b_post1"],
       packed["b_post2"], bufF0, bufA0, x0)

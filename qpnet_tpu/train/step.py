@@ -84,12 +84,6 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
         return jax.jit(step, donate_argnums=(0,))
 
     repl = NamedSharding(mesh, P())
-    dp = NamedSharding(mesh, P("dp"))
-
-    def batch_shardings(batch):
-        return {k: (repl if jnp.ndim(v) == 0 else
-                    NamedSharding(mesh, P("dp", *([None] * (jnp.ndim(v) - 1)))))
-                for k, v in batch.items()}
 
     def sharded_step(state, batch):
         return step(state, batch)

@@ -32,3 +32,57 @@ def test_sharded_decode_matches_single_device():
                                   engine="xla", compute_dtype=jnp.float32,
                                   mesh=mesh)
     np.testing.assert_array_equal(np.stack(single), np.stack(sharded))
+
+
+def test_sharded_pallas_decode_matches_single_chip():
+    """The pallas engine under the mesh (shard_map, one kernel per chip,
+    interpret mode on the virtual CPU devices) must reproduce the
+    single-chip pallas engine bit-for-bit — the counter PRNG keys off
+    GLOBAL utterance indices, so sharding must not change the streams."""
+    assert len(jax.devices()) == 8
+    cfg = ModelConfig(n_quantize=32, n_aux=4, n_resch=16, n_skipch=8,
+                      dilationF_depth=2, dilationF_repeat=1,
+                      dilationA_depth=2, dilationA_repeat=1,
+                      upsampling_factor=4)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    B, F = 8, 10
+    n = F * cfg.upsampling_factor - 1
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.repeat(rng.uniform(1.0, 3.0, (B, F)), cfg.upsampling_factor,
+                  axis=1).astype(np.float32)
+    x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+
+    single = batch_fast_generate(params, cfg, x0, h, [n] * B, d, seed=7,
+                                 engine="pallas", interpret=True)
+    mesh = make_mesh(4)  # B=8 over 4 devices: 2 utterances per chip
+    sharded = batch_fast_generate(params, cfg, x0, h, [n] * B, d, seed=7,
+                                  engine="pallas", interpret=True,
+                                  mesh=mesh)
+    np.testing.assert_array_equal(np.stack(single), np.stack(sharded))
+
+
+def test_sharded_pallas_pads_ragged_batch():
+    """B not divisible by the mesh size: the batch pads internally and the
+    padding rows are dropped from the result."""
+    assert len(jax.devices()) == 8
+    cfg = ModelConfig(n_quantize=32, n_aux=4, n_resch=16, n_skipch=8,
+                      dilationF_depth=2, dilationF_repeat=1,
+                      dilationA_depth=2, dilationA_repeat=1,
+                      upsampling_factor=4)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(2)
+    B, F = 5, 8
+    n = F * cfg.upsampling_factor - 1
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.full((B, F * cfg.upsampling_factor), 2.0, np.float32)
+    x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+
+    single = batch_fast_generate(params, cfg, x0, h, [n] * B, d, seed=5,
+                                 engine="pallas", interpret=True)
+    mesh = make_mesh(4)
+    sharded = batch_fast_generate(params, cfg, x0, h, [n] * B, d, seed=5,
+                                  engine="pallas", interpret=True,
+                                  mesh=mesh)
+    assert len(sharded) == B
+    np.testing.assert_array_equal(np.stack(single), np.stack(sharded))
