@@ -17,3 +17,18 @@ Layer map (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("QPNET_PLATFORM"):
+    # Some TPU environments pin jax_platforms via plugin config at
+    # interpreter start, so the JAX_PLATFORMS env var alone is ignored.
+    # QPNET_PLATFORM re-overrides through jax.config — used by recipe
+    # scripts and subprocess tests that need the (virtual multi-device)
+    # CPU backend.  No effect when unset.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["QPNET_PLATFORM"])
+    if _os.environ.get("QPNET_NUM_CPU_DEVICES"):
+        _jax.config.update("jax_num_cpu_devices",
+                           int(_os.environ["QPNET_NUM_CPU_DEVICES"]))

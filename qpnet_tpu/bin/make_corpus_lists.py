@@ -18,6 +18,27 @@ import yaml
 
 from qpnet_tpu.data.lists import find_files, write_txt
 
+# The reference ships hand-curated per-speaker F0 search ranges and power
+# thresholds for the VCC2018 roster (corpus/VCC2018/conf/pow_f0_dict.yml —
+# the values a human reads off the runFE step-1 histograms).  Reproduced
+# here as data so a VCC2018 user gets the exact reference analysis
+# settings without re-curating; unknown speakers still get the wide-open
+# defaults below.
+VCC2018_POW_F0 = {
+    "VCC2SF1": {"f0_min": 100, "f0_max": 450, "pow_th": -31},
+    "VCC2SF2": {"f0_min": 110, "f0_max": 350, "pow_th": -31},
+    "VCC2SF3": {"f0_min": 110, "f0_max": 340, "pow_th": -38},
+    "VCC2SF4": {"f0_min": 120, "f0_max": 330, "pow_th": -34},
+    "VCC2SM1": {"f0_min": 50, "f0_max": 200, "pow_th": -31},
+    "VCC2SM2": {"f0_min": 70, "f0_max": 300, "pow_th": -40},
+    "VCC2SM3": {"f0_min": 45, "f0_max": 220, "pow_th": -35},
+    "VCC2SM4": {"f0_min": 45, "f0_max": 260, "pow_th": -32},
+    "VCC2TF1": {"f0_min": 140, "f0_max": 350, "pow_th": -45},
+    "VCC2TF2": {"f0_min": 100, "f0_max": 400, "pow_th": -30},
+    "VCC2TM1": {"f0_min": 60, "f0_max": 200, "pow_th": -23},
+    "VCC2TM2": {"f0_min": 50, "f0_max": 280, "pow_th": -31},
+}
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
@@ -54,8 +75,8 @@ def main(argv=None):
             with open(conf_path) as f:
                 conf = yaml.safe_load(f) or {}
         for spk in speakers:
-            conf.setdefault(spk, {"f0_min": 40, "f0_max": 800,
-                                  "pow_th": -30})
+            conf.setdefault(spk, VCC2018_POW_F0.get(
+                spk, {"f0_min": 40, "f0_max": 800, "pow_th": -30}))
         with open(conf_path, "w") as f:
             yaml.safe_dump(conf, f)
         print(f"seeded {conf_path}")

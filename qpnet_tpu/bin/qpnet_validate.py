@@ -70,6 +70,7 @@ def main(argv=None):
 
     losses = []
     for batch_np in generator:
+        batch_np.pop("window_lens", None)  # host-side diagnostic only
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         losses.append(float(eval_step(params, batch)))
     mean_loss = float(np.mean(losses)) if losses else float("nan")

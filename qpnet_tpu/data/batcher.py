@@ -201,6 +201,9 @@ def train_window_generator(
                         "t": np.stack([b[2] for b in batch]),
                         "d": np.stack([b[3] for b in batch]),
                         "valid_len": np.int32(min(bls)),
+                        # per-row pre-truncation lengths (diagnostic; the
+                        # trainer drops this before the device step)
+                        "window_lens": np.asarray(bls, np.int32),
                     }
                     batch = []
         if not loop:

@@ -119,6 +119,9 @@ def main(argv=None):
     p.add_argument("--network", default="default")
     p.add_argument("--n_aux", type=int, default=39)
     p.add_argument("--upsampling_factor", type=int, default=110)
+    p.add_argument("--config", default=None,
+                   help="also write a model.conf JSON here (what "
+                        "qpnet_decode/validate/update expect)")
     args = p.parse_args(argv)
     cfg = ModelConfig.from_network_name(
         args.network, n_aux=args.n_aux,
@@ -128,6 +131,10 @@ def main(argv=None):
     with open(args.out, "wb") as f:
         pickle.dump({"model": params}, f)
     print(f"wrote {args.out}")
+    if args.config:
+        from qpnet_tpu.config import RunConfig, TrainConfig
+        RunConfig(model=cfg, train=TrainConfig()).save(args.config)
+        print(f"wrote {args.config}")
 
 
 if __name__ == "__main__":

@@ -79,7 +79,7 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
         import re
         cands = []
         for name in os.listdir(expdir) if os.path.isdir(expdir) else []:
-            m = re.fullmatch(r"checkpoint-(\d+)\.pkl", name)
+            m = re.fullmatch(r"checkpoint-(\d+)\.(pkl|orbax)", name)
             if m:
                 cands.append((int(m.group(1)), name))
         resume = (os.path.join(expdir, max(cands)[1]) if cands else None)
@@ -128,6 +128,7 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
     for i in range(iterations, tcfg.iters):
         start = time.time()
         batch_np = generator.next()
+        batch_np.pop("window_lens", None)  # host-side diagnostic only
         if mesh is not None:
             batch = make_global_batch(
                 mesh, {k: v for k, v in batch_np.items() if np.ndim(v) > 0})

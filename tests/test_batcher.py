@@ -111,3 +111,43 @@ def test_background_generator_propagates_worker_errors(tmp_path):
     with pytest.raises(RuntimeError, match="data pipeline worker failed"):
         for _ in range(5):
             gen.next()
+
+
+def test_batches_have_uniform_window_lengths(tmp_path):
+    """valid_len = min(per-window bl) looks like it could silently truncate
+    loss positions when pitch changes bl mid-batch (the reference instead
+    asserts equality, qpnet_train.py:522-523).  In fact the carving loop
+    makes mixed batches impossible: a window is only carved when the
+    buffer can fill ALL remaining batch slots, and once the first window
+    of a batch is carved the conditions for the rest are implied (the
+    slide h_ss = bl//up never exceeds the window h_bs = (rf+bl)//up), so
+    no utterance append -- the only thing that can change bl -- happens
+    mid-batch.  This test pins that invariant on a corpus whose pitch
+    range forces bl to change ACROSS batches; min() stays as a safety net.
+    """
+    cfg = tiny_cfg()
+    # utt0 high pitch (small receptive field), utt1 low pitch (large)
+    w0, f0_ = make_synthetic_corpus(str(tmp_path / "a"), n_utts=1, fs=1000,
+                                    up=10, n_aux=4, f0_lo=120, f0_hi=125,
+                                    seed=0)
+    w1, f1_ = make_synthetic_corpus(str(tmp_path / "b"), n_utts=1, fs=1000,
+                                    up=10, n_aux=4, f0_lo=25, f0_hi=28,
+                                    seed=1)
+    wavs, feats = w0 + w1, f0_ + f1_
+    kw = dict(batch_length=300, max_length=700, shuffle=False, loop=False)
+
+    batches = list(train_window_generator(wavs, feats, cfg, batch_size=2,
+                                          **kw))
+    all_lens = [b["window_lens"].tolist() for b in batches]
+    # the corpus really exercises a bl change (across batches)...
+    assert len({tuple(ls) for ls in all_lens}) > 1, all_lens
+    for b in batches:
+        lens = b["window_lens"]
+        # ...but never within one: valid_len loses no loss positions
+        assert len(set(lens.tolist())) == 1, all_lens
+        L = int(b["valid_len"])
+        assert L == int(lens[0])
+        for row in range(2):
+            # end-aligned real data: targets chain with inputs
+            np.testing.assert_array_equal(
+                b["x"][row, -(L - 1):], b["t"][row, -L:-1])
