@@ -191,3 +191,46 @@ class TestDioContourFix:
         cands = np.zeros((2, n))  # empty candidate pool
         fixed = _fix_contour(f0, cands, 5.0, 0.1, 71.0)
         assert (fixed[:10] == 0).all() and (fixed[30:] == 0).all()
+
+
+class TestSpeechlikeCopySynthesis:
+    def test_full_loop_on_nasty_signal(self):
+        """Copy-synthesis quality on a deliberately hostile speech-like
+        signal — vibrato + slow pitch drift, formant structure, amplitude
+        modulation, breath noise, and a creaky subharmonic in the second
+        half.  The synthetic fixtures elsewhere are too clean to catch
+        estimator regressions that only show on real phonation."""
+        from qpnet_tpu.dsp.world.api import WorldAnalyzer, WorldSynthesizer
+        from qpnet_tpu.tools.evaluate import wav_metrics
+
+        fs = 22050
+        rng = np.random.default_rng(0)
+        t = np.arange(int(fs * 1.5)) / fs
+        f0c = (120 * (1 + 0.05 * np.sin(2 * np.pi * 4.5 * t))
+               * (1 + 0.15 * np.sin(2 * np.pi * 0.8 * t)))
+        phase = 2 * np.pi * np.cumsum(f0c) / fs
+        x = np.zeros_like(t)
+        for k in range(1, 40):
+            if 120 * k < fs / 2 - 500:
+                amp = (1.0 / (1 + (k * 120 / 900) ** 2)
+                       + 0.3 / (1 + ((k * 120 - 2200) / 300) ** 2))
+                x += amp * np.sin(k * phase + 0.1 * k * k)
+        x *= (0.5 + 0.5 * np.sin(2 * np.pi * 1.3 * t)) ** 2
+        x += 0.02 * rng.normal(size=len(t))
+        x += 0.05 * np.sin(phase / 2) * (t > 0.75)   # subharmonic creak
+        x = (x / np.abs(x).max() * 12000).astype(np.float64)
+
+        an = WorldAnalyzer(fs=fs, shiftms=5.0, minf0=60, maxf0=400,
+                           fftl=1024)
+        f0, _, ap = an.analyze(x)
+        mcep = an.mcep(34, 0.455)
+        syn = WorldSynthesizer(fs=fs, fftl=1024, shiftms=5.0)
+        y = syn.synthesis(f0, mcep, ap, 0.455)
+        n = min(len(x), len(y))
+        m = wav_metrics(x[:n], np.asarray(y[:n], np.float64), fs)
+        # round-2 measurement: 1.15 dB MCD / ~6 Hz F0-RMSE; generous
+        # margins so platform noise doesn't flake, tight enough to catch
+        # real estimator regressions (round-1 proxy D4C scored 1.5+)
+        assert m["mcd_db"] < 1.6, m
+        assert m["f0_rmse_hz"] < 12.0, m
+        assert m["voiced_both"] > 100, m
