@@ -15,7 +15,16 @@ import numpy as np
 
 def multi_processing(file_list, target_fn, n_jobs: int, *args) -> None:
     """Split file_list over n_jobs processes running
-    target_fn(sub_list, *args); join all."""
+    target_fn(sub_list, *args); join all.
+
+    A spawned worker pays several seconds of interpreter+import startup
+    (TPU plugin registration happens in sitecustomize even for CPU-only
+    DSP work), so the pool never spawns more workers than can amortize
+    that: at least ~4 items per worker, and never more workers than
+    items.
+    """
+    n_jobs = max(1, min(int(n_jobs), len(file_list),
+                        (len(file_list) + 3) // 4))
     if n_jobs <= 1:
         target_fn(list(file_list), *args)
         return
