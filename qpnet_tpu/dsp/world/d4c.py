@@ -39,7 +39,8 @@ UNVOICED_AP = 1.0 - 1e-12
 FLOOR_F0_D4C = 47.0
 LOVE_TRAIN_LOWEST_F0 = 40.0
 LOVE_TRAIN_THRESHOLD = 0.85
-UPPER_LIMIT = 15000.0
+# the 15 kHz band cap lives in codec.n_aperiodicity_bands (shared with
+# the aperiodicity codec, which must agree on the band structure)
 
 
 def _get_centroid(x: np.ndarray, fs: int, f0: float, position: float,

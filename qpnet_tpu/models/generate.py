@@ -307,9 +307,11 @@ def _pallas_device_core(params, cfg, x_seed, h_pad, d_frames, seed,
         h_pad.astype(jnp.bfloat16), d_frames, seed,
         B=B, maxd=maxd, n_steps=n_steps, mode=mode, interpret=interpret,
         quantize=quantize, b_offset=b_offset)[0]
-    # mu-law classes fit uint8: quarters the device->host transfer (the
-    # tunnel round-trip is a fixed cost of every decode call)
-    return out.astype(jnp.uint8)
+    if cfg.n_quantize <= 256:
+        # mu-law classes fit uint8: quarters the device->host transfer
+        # (the tunnel round-trip is a fixed cost of every decode call)
+        return out.astype(jnp.uint8)
+    return out
 
 
 @functools.partial(
@@ -526,6 +528,14 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
     use_pallas = (engine == "pallas"
                   or (engine == "auto" and pallas_fit and frame_const
                       and quantize != "int8_weights"))
+    if quantize == "w8a8" and not use_pallas:
+        # the scan engine has no W8A8 scheme; silently decoding in bf16
+        # under a quantization flag would misreport the numerics
+        raise ValueError(
+            "quantize='w8a8' requires the pallas engine, which is "
+            "unavailable here (no TPU, VMEM budget, or within-frame "
+            "dilation variation) — drop the flag or use 'int8_weights' "
+            "with engine='xla'")
     if engine == "auto" and not use_pallas:
         reasons = []
         if not frame_const:

@@ -67,15 +67,32 @@ def save_final(checkpoint_dir: str, params, backend: str = None) -> str:
     return path
 
 
-def load_checkpoint(path: str) -> dict:
+def checkpoint_backend(backend: str = None) -> str:
+    """The effective backend name ("pickle" or "orbax")."""
+    return _backend(backend)
+
+
+def load_checkpoint(path: str, template=None) -> dict:
     """Load either backend's checkpoint; `path` may also name the .pkl
-    while only the .orbax twin exists (recipe compatibility)."""
+    while only the .orbax twin exists (recipe compatibility).
+
+    template: optional pytree with the desired structure.  Required to
+    restore an orbax checkpoint containing non-dict/list nodes — optax
+    opt_states are namedtuples, which orbax flattens to dicts/lists
+    unless given a target structure.  Ignored by the pickle backend
+    (pickle preserves structure natively).
+    """
     if os.path.isdir(path) or path.endswith(".orbax"):
         import orbax.checkpoint as ocp
-        return dict(ocp.StandardCheckpointer().restore(
-            os.path.abspath(path)))
+        ckptr = ocp.StandardCheckpointer()
+        apath = os.path.abspath(path)
+        if template is not None:
+            abstract = jax.tree_util.tree_map(
+                ocp.utils.to_shape_dtype_struct, template)
+            return dict(ckptr.restore(apath, abstract))
+        return dict(ckptr.restore(apath))
     if not os.path.exists(path) and os.path.isdir(
             path[:-len(".pkl")] + ".orbax"):
-        return load_checkpoint(path[:-len(".pkl")] + ".orbax")
+        return load_checkpoint(path[:-len(".pkl")] + ".orbax", template)
     with open(path, "rb") as f:
         return pickle.load(f)

@@ -40,6 +40,8 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
     os.makedirs(expdir, exist_ok=True)
     n_proc = jax.process_count()
     is_lead = jax.process_index() == 0
+    from qpnet_tpu.train.checkpoint import checkpoint_backend
+    save_collective = n_proc > 1 and checkpoint_backend() == "orbax"
     local_bs = tcfg.batch_size
     if n_proc > 1:
         # multi-host: each host reads its slice of the corpus and feeds
@@ -90,7 +92,10 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
             f"--resume checkpoint {resume} does not exist (refusing to "
             f"silently restart from scratch)")
     if resume and os.path.exists(resume):
-        ckpt = load_checkpoint(resume)
+        # the template restores the optax namedtuple structure from the
+        # orbax backend (no-op for pickle)
+        ckpt = load_checkpoint(resume, template={
+            "model": params, "optimizer": tx.init(params), "iterations": 0})
         params = jax.tree_util.tree_map(jnp.asarray, ckpt["model"])
         opt_state = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,
@@ -149,12 +154,19 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
                          eta // 3600, (eta % 3600) // 60, eta % 60)
             loss_record.append(avg)
             loss_sum, total_t = 0.0, 0.0
-        if (i + 1) % tcfg.checkpoint_interval == 0 and is_lead:
+        if (i + 1) % tcfg.checkpoint_interval == 0 and (is_lead
+                                                        or save_collective):
+            # pickle: only the lead writes (params are replicated); orbax
+            # multi-host saves are collective barriers — EVERY process
+            # must call or the lead deadlocks in the commit sync
             save_checkpoint(expdir, state.params, state.opt_state, i + 1)
-            logging.info("%d-iter checkpoint created.", i + 1)
+            if is_lead:
+                logging.info("%d-iter checkpoint created.", i + 1)
 
-    if is_lead:
+    if is_lead or save_collective:
         save_final(expdir, state.params)
-        logging.info("final checkpoint created.")
+        if is_lead:
+            logging.info("final checkpoint created.")
+    if is_lead:
         with open(flossyml, "w", encoding="utf-8") as yf:
             yaml.safe_dump([float(x) for x in loss_record], yf)

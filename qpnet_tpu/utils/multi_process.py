@@ -19,12 +19,12 @@ def multi_processing(file_list, target_fn, n_jobs: int, *args) -> None:
 
     A spawned worker pays several seconds of interpreter+import startup
     (TPU plugin registration happens in sitecustomize even for CPU-only
-    DSP work), so the pool never spawns more workers than can amortize
-    that: at least ~4 items per worker, and never more workers than
-    items.
+    DSP work), so the pool never spawns more workers than there are
+    items.  The explicitly requested n_jobs is otherwise respected —
+    per-item work can dwarf the spawn cost (a long utterance's WORLD
+    analysis), so no amortization heuristic second-guesses the caller.
     """
-    n_jobs = max(1, min(int(n_jobs), len(file_list),
-                        (len(file_list) + 3) // 4))
+    n_jobs = max(1, min(int(n_jobs), len(file_list)))
     if n_jobs <= 1:
         target_fn(list(file_list), *args)
         return

@@ -43,6 +43,15 @@ n_jobs=8
 
 [ -n "$eval_wavs" ] && [ -n "$stats" ] && [ -n "$workdir" ] || {
   sed -n '2,27p' "$0"; exit 1; }
+if [ "$skip_convert" = true ]; then
+  [ -n "$si_checkpoint" ] && [ -n "$config" ] || {
+    echo "--skip_convert needs --si_checkpoint (qpnet_tpu format) and" \
+         "--config"; exit 1; }
+else
+  [ -n "$si_checkpoint" ] || {
+    echo "--si_checkpoint (the released torch checkpoint) is required";
+    exit 1; }
+fi
 mkdir -p "$workdir"
 
 ckpt="$workdir/checkpoint-final.pkl"
