@@ -4,8 +4,9 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 The headline number is aggregate mu-law samples generated per second per
-chip for the flagship (default, ~24M-param) QPNet at the reference decode
-batch size (20 utterances, runQP.py:66).  `vs_baseline` is measured against
+chip for the flagship (default, ~24M-param) QPNet at the throughput-
+optimal batch of 64 (use --batch 20 for the reference's own decode batch,
+runQP.py:66 — also above target).  `vs_baseline` is measured against
 the BASELINE.md north-star target of 50x real-time at 22.05 kHz per chip
 (22050*50 = 1,102,500 samples/s), i.e. vs_baseline > 1.0 beats the target.
 
