@@ -49,22 +49,32 @@ class _SpectrumCache:
         self.X = np.fft.rfft(x, self.fftl)
         self.fs = fs
 
-    def band_lowpass(self, boundary_f0: float) -> np.ndarray:
+    def _response(self, boundary_f0: float) -> np.ndarray:
+        """Zero-phase response of the band's Nuttall-windowed sinc filter,
+        evaluated on a coarse FFT grid and interpolated to the signal grid
+        (a full-length filter FFT per band dominated analysis cost)."""
         filter_length_half = int(round(self.fs / boundary_f0 / 2.0))
         w = nuttall(filter_length_half * 2 + 1)
         t = np.arange(-filter_length_half, filter_length_half + 1)
         lpf = np.sinc(2 * boundary_f0 * t / self.fs) * w
         lpf /= lpf.sum()
-        # zero-phase response of the centered (symmetric) filter is real
-        # and smooth: evaluate on a coarse FFT grid and interpolate to the
-        # signal grid — a full-length filter FFT per band dominated cost
         coarse = max(8192, next_pow2(len(lpf) * 2))
         Hc = np.fft.rfft(np.roll(np.concatenate(
             [lpf, np.zeros(coarse - len(lpf))]), -filter_length_half)).real
         fc = np.linspace(0.0, 0.5, len(Hc))
         fx = np.linspace(0.0, 0.5, self.fftl // 2 + 1)
-        H0 = np.interp(fx, fc, Hc)
-        return np.fft.irfft(self.X * H0, self.fftl)[: self.n]
+        return np.interp(fx, fc, Hc)
+
+    def band_lowpass(self, boundary_f0: float) -> np.ndarray:
+        return np.fft.irfft(self.X * self._response(boundary_f0),
+                            self.fftl)[: self.n]
+
+    def band_lowpass_many(self, boundary_f0s) -> np.ndarray:
+        """(n_ch, n) band-filtered copies via ONE batched inverse FFT —
+        the per-channel irfft was the dominant cost of dio/harvest."""
+        H = np.stack([self._response(b) for b in boundary_f0s])
+        return np.fft.irfft(self.X[None, :] * H, self.fftl,
+                            axis=-1)[:, : self.n]
 
 
 def _band_lowpass(x: np.ndarray, fs: int, boundary_f0: float) -> np.ndarray:
@@ -239,10 +249,10 @@ def dio(x: np.ndarray, fs: int, f0_floor: float = 71.0,
     cands = np.zeros((n_bands, n_frames))
     rels = np.full((n_bands, n_frames), np.inf)
     cache = _SpectrumCache(xlc, fs, float(boundary_f0s[0]))
+    xbs = cache.band_lowpass_many(boundary_f0s)   # one batched inverse FFT
     for b, bf0 in enumerate(boundary_f0s):
-        xb = cache.band_lowpass(bf0)
         cands[b], rels[b] = _band_candidate(
-            xb, fs, bf0, f0_floor, f0_ceil, time_axis)
+            xbs[b], fs, bf0, f0_floor, f0_ceil, time_axis)
 
     # best band per frame: minimal normalized reliability
     score = rels / np.maximum(cands, 1e-9)

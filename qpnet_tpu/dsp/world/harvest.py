@@ -31,12 +31,11 @@ from qpnet_tpu.dsp.world.dio import (
 from qpnet_tpu.dsp.world.refine import refine_many
 
 
-def _channel_candidates(cache: "_SpectrumCache", fs: int,
+def _channel_candidates(xb: np.ndarray, fs: int,
                         boundary_f0: float,
                         f0_floor: float, f0_ceil: float,
                         frame_times: np.ndarray):
     """One channel's per-frame candidate + agreement score."""
-    xb = cache.band_lowpass(boundary_f0)
     tracks = []
     for kind in ("negzc", "poszc"):
         tracks.append(_interval_f0_track(_event_times(xb, fs, kind),
@@ -85,9 +84,10 @@ def harvest(x: np.ndarray, fs: int, f0_floor: float = 71.0,
     cands = np.zeros((n_ch, n_frames))
     spreads = np.full((n_ch, n_frames), np.inf)
     cache = _SpectrumCache(xlc, fs, float(boundaries[0]))
+    xbs = cache.band_lowpass_many(boundaries)   # one batched inverse FFT
     for c, bf in enumerate(boundaries):
         cands[c], spreads[c] = _channel_candidates(
-            cache, fs, bf, f0_floor, f0_ceil, time_axis)
+            xbs[c], fs, bf, f0_floor, f0_ceil, time_axis)
 
     # pool per-frame candidates: best-agreeing channels, deduped by ~5%
     pooled = np.zeros((n_frames, max_candidates))
