@@ -27,6 +27,7 @@ results.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Sequence
 
 import jax
@@ -315,6 +316,28 @@ def _pallas_device_core(params, cfg, x_seed, h_pad, d_frames, seed,
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cfg", "maxd", "quantize", "const_seed"))
+def _pallas_prologue(params, cfg, x_seed, h_pad0, maxd, quantize,
+                     const_seed):
+    """Weight packing + ring priming for the chunked decode path: one jit,
+    outputs stay device-resident across the per-chunk kernel calls."""
+    from qpnet_tpu.ops.gen_kernel import pack_weights
+    B = x_seed.shape[0]
+    A = cfg.n_aux
+    packed = pack_weights(params, cfg, quantize)
+    h0_up = h_pad0[:, :A] * params["up_w"][0] + params["up_b"]
+    bufsF, bufsA = _prime_ring_buffers(params, cfg, x_seed, h0_up, maxd,
+                                       jnp.float32, t0=0,
+                                       const_seed=const_seed, ring_pad=1)
+    bufF0 = jnp.concatenate(
+        [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsF], axis=0)
+    bufA0 = jnp.concatenate(
+        [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsA], axis=0)
+    x0 = jnp.stack([x_seed[:, -2], x_seed[:, -1]]).astype(jnp.int32)
+    return packed, bufF0, bufA0, x0
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("cfg", "maxd", "n_steps", "mode", "interpret",
                      "quantize", "const_seed"))
@@ -389,6 +412,15 @@ def _pallas_host_prep(cfg: ModelConfig, h: np.ndarray, d: np.ndarray,
     return h_pad.astype(ml_dtypes.bfloat16), d_frames, n_pad_steps
 
 
+_to_uint8 = jax.jit(lambda a: a.astype(jnp.uint8))
+
+# full chunks of this many frames bound the distinct kernel compiles for a
+# production corpus: any utterance decodes as N full chunks + one 10-frame-
+# bucketed tail, so the in-process compile cache tops out at ~1 + chunk/10
+# kernels instead of one per distinct utterance length
+DECODE_CHUNK_FRAMES = int(os.environ.get("QPNET_DECODE_CHUNK_FRAMES", "400"))
+
+
 def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
                  h: np.ndarray, d: np.ndarray, n_steps: int, maxd: int,
                  seed: int, mode: str, interpret: bool,
@@ -396,13 +428,51 @@ def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
                  const_seed: bool = False) -> np.ndarray:
     """Generation via the VMEM-resident mega-kernel (ops/gen_kernel.py)."""
     h_pad, d_frames, n_pad_steps = _pallas_host_prep(cfg, h, d, n_steps)
-    out = _pallas_device_path(
-        params, cfg, jnp.asarray(x_seed, jnp.int32),
-        jnp.asarray(h_pad), jnp.asarray(d_frames),
-        jnp.asarray(seed, jnp.int32),
-        maxd=maxd, n_steps=n_pad_steps, mode=mode, interpret=interpret,
-        quantize=quantize, const_seed=const_seed)
-    out = np.asarray(jax.device_get(out)).astype(np.int32)[:, 0, :]
+    up = cfg.upsampling_factor
+    chunk_steps = DECODE_CHUNK_FRAMES * up
+    if n_pad_steps <= chunk_steps:
+        # single fused jit (prologue + kernel): the common case and the
+        # lowest-overhead one
+        out = _pallas_device_path(
+            params, cfg, jnp.asarray(x_seed, jnp.int32),
+            jnp.asarray(h_pad), jnp.asarray(d_frames),
+            jnp.asarray(seed, jnp.int32),
+            maxd=maxd, n_steps=n_pad_steps, mode=mode, interpret=interpret,
+            quantize=quantize, const_seed=const_seed)
+        out = np.asarray(jax.device_get(out)).astype(np.int32)[:, 0, :]
+        return np.moveaxis(out, 0, 1)[:, :n_steps]
+
+    # long utterance: full chunks with carried ring state + a bucketed
+    # tail.  Ring slots, upsampler phase and the PRNG key off the ABSOLUTE
+    # sample index (step_offset), so the chunked run is bit-identical to a
+    # one-shot call of the same total length.
+    from qpnet_tpu.ops.gen_kernel import pallas_generate
+    B = h.shape[0]
+    packed, bufF, bufA, x0 = _pallas_prologue(
+        params, cfg, jnp.asarray(x_seed, jnp.int32), jnp.asarray(h_pad[0]),
+        maxd=maxd, quantize=quantize, const_seed=const_seed)
+    h_dev = jnp.asarray(h_pad)
+    d_dev = jnp.asarray(d_frames)
+    seed_dev = jnp.asarray(seed, jnp.int32)
+    pieces = []
+    off = 0
+    while off < n_pad_steps:
+        steps = min(chunk_steps, n_pad_steps - off)
+        f0_, f1_ = off // up, (off + steps) // up
+        samples, bufF, bufA, x0 = pallas_generate(
+            packed, cfg, bufF, bufA, x0,
+            h_dev[f0_:f1_], d_dev[f0_:f1_], seed_dev,
+            B=B, maxd=maxd, n_steps=steps, mode=mode, interpret=interpret,
+            quantize=quantize, step_offset=off)
+        if cfg.n_quantize <= 256:
+            samples = _to_uint8(samples)
+        # keep the loop fully async: dispatch is non-blocking, so every
+        # chunk enqueues before any download — fetching here would
+        # serialize each chunk's D2H transfer against the next's compute
+        pieces.append(samples)
+        off += steps
+    pieces = [np.asarray(p).astype(np.int32) for p in jax.device_get(pieces)]
+    out = np.concatenate(pieces, axis=0)[:, 0, :]
     return np.moveaxis(out, 0, 1)[:, :n_steps]
 
 

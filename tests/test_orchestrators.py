@@ -119,3 +119,39 @@ def test_runqp_stages(prj, monkeypatch):
     assert os.path.exists(os.path.join(
         prj, "qpnet_output", "Aminitr_Wminitr_d8_tiny", "noiseshaped",
         SPK, "final", "u0_1.5.wav"))
+
+
+@pytest.mark.slow
+def test_runqp_stage5_validation_sweep(prj):
+    """Stage 5: the SD validation sweep writes {checkpoint: loss} to
+    validation_result.yml in the SD expdir (reference run_QP.sh stage 2 /
+    qpnet_validate.py:409-437) — the mechanism a user relies on to pick
+    the best adaptation iteration."""
+    from qpnet_tpu import config as qcfg
+    from qpnet_tpu import runQP
+    qcfg._NETWORKS.setdefault("tiny", dict(
+        dilationF_depth=2, dilationF_repeat=1,
+        dilationA_depth=2, dilationA_repeat=1,
+        kernel_size=2, max_length=4000, batch_length=1600,
+        batch_size=1, f0_threshold=0, decode_batch_size=2))
+    base = ["--prj_dir", prj, "--corpus", "MINI", "--n_jobs", "1",
+            "-f", str(FS), "-n", "tiny"]
+    common = ["-w", "minitr.scp", "-a", "minitr.scp"]
+    sd = ["-x", f"minitr_{SPK}.scp", "-u", f"minitr_{SPK}.scp"]
+    # the sweep validates checkpoints at the update interval (100), so
+    # the SD stage must run at least that many iterations
+    runQP.main(common + sd + ["-U", "100", "-2"] + base)
+    sd_expdir = os.path.join(
+        prj, "qpnet_models",
+        f"Aminitr_Wminitr_d8_tiny_Uminitr_{SPK}_Vminitr_{SPK}")
+    assert os.path.exists(os.path.join(sd_expdir, "checkpoint-100.pkl"))
+
+    runQP.main(common + sd + [
+        "-y", f"minitr_{SPK}.scp", "-v", f"minitr_{SPK}.scp",
+        "-U", "100", "-5", SPK] + base)
+    result = os.path.join(sd_expdir, "validation_result.yml")
+    assert os.path.exists(result)
+    with open(result) as f:
+        res = yaml.safe_load(f)
+    assert "checkpoint-100.pkl" in res
+    assert np.isfinite(res["checkpoint-100.pkl"])

@@ -46,3 +46,37 @@ def test_streaming_matches_one_shot():
                             maxd=maxd, seed=100, mode="argmax",
                             interpret=True)
     np.testing.assert_array_equal(streamed, one_shot)
+
+
+def test_chunked_decode_path_matches_one_shot(monkeypatch):
+    """Long utterances decode as full chunks + a bucketed tail with carried
+    ring state; the result must be bit-identical to the one-shot kernel
+    call (absolute-time slot/PRNG arithmetic)."""
+    import jax
+    import numpy as np
+    from qpnet_tpu.config import ModelConfig
+    from qpnet_tpu.models import generate as G
+    from qpnet_tpu.models import init_params
+
+    cfg = ModelConfig(n_quantize=32, n_aux=4, n_resch=16, n_skipch=8,
+                      dilationF_depth=2, dilationF_repeat=1,
+                      dilationA_depth=2, dilationA_repeat=1,
+                      upsampling_factor=4)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    B, F = 2, 30
+    up = cfg.upsampling_factor
+    n = F * up - 1
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.repeat(rng.uniform(1.0, 3.0, (B, F)), up, axis=1).astype(
+        np.float32)
+    x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+
+    one_shot = G.batch_fast_generate(params, cfg, x0, h, [n] * B, d,
+                                     seed=11, engine="pallas",
+                                     interpret=True)
+    monkeypatch.setattr(G, "DECODE_CHUNK_FRAMES", 10)  # 3 chunks + tail
+    chunked = G.batch_fast_generate(params, cfg, x0, h, [n] * B, d,
+                                    seed=11, engine="pallas",
+                                    interpret=True)
+    np.testing.assert_array_equal(np.stack(one_shot), np.stack(chunked))
