@@ -110,6 +110,14 @@ def main(argv=None):
     set_loglevel(args.verbose)
     for key, value in vars(args).items():
         logging.info("%s = %s", key, str(value))
+    if "feat_id" not in args.outdir:
+        # the reference contract is a path template containing `feat_id`
+        # (runQP.py builds ".../feat_id.wav"); a plain directory would make
+        # every utterance overwrite the same file — treat it as a directory
+        # instead of failing silently
+        args.outdir = os.path.join(args.outdir, "feat_id.wav")
+        logging.info("--outdir has no feat_id placeholder; writing %s",
+                     args.outdir)
     outdir_parent = os.path.dirname(args.outdir)
     if outdir_parent and not os.path.isdir(outdir_parent):
         os.makedirs(outdir_parent, exist_ok=True)

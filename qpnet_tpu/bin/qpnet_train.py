@@ -63,6 +63,11 @@ def get_arguments(argv=None):
                              "(or env QPNET_HOST_ID)")
     parser.add_argument("--pretrain", default=None, nargs="?", type=str,
                         help="weights-only init (the SD-update path)")
+    parser.add_argument("--dtype", default="float32", type=str,
+                        choices=("float32", "bfloat16"),
+                        help="step math: float32 = reference-parity; "
+                             "bfloat16 = mixed precision (f32 master "
+                             "weights, bf16 matmuls/activations)")
     parser.add_argument("--verbose", default=1, type=int)
     return parser.parse_args(argv)
 
@@ -82,7 +87,7 @@ def build_configs(args):
         checkpoint_interval=args.checkpoint_interval,
         batch_length=args.batch_length, batch_size=args.batch_size,
         max_length=args.max_length, f0_threshold=args.f0_threshold,
-        seed=args.seed, intervals=args.intervals)
+        seed=args.seed, intervals=args.intervals, dtype=args.dtype)
     return cfg, tcfg
 
 

@@ -37,6 +37,10 @@ def get_arguments(argv=None):
     parser.add_argument("--seed", default=1, type=int)
     parser.add_argument("--resume", default=None, nargs="?", type=str)
     parser.add_argument("--n_gpus", default=1, type=int)
+    parser.add_argument("--dtype", default="float32", type=str,
+                        choices=("float32", "bfloat16"),
+                        help="step math: float32 = reference-parity; "
+                             "bfloat16 = mixed precision")
     parser.add_argument("--verbose", default=1, type=int)
     return parser.parse_args(argv)
 
@@ -55,7 +59,7 @@ def main(argv=None):
         checkpoint_interval=args.checkpoint_interval,
         batch_length=args.batch_length, batch_size=args.batch_size,
         max_length=args.max_length, f0_threshold=args.f0_threshold,
-        seed=args.seed, intervals=args.intervals)
+        seed=args.seed, intervals=args.intervals, dtype=args.dtype)
 
     from qpnet_tpu.bin.qpnet_train import resolve_lists
     args.feature_format = run_cfg.feature_format

@@ -157,6 +157,10 @@ class TrainConfig:
     f0_threshold: float = 0.0
     seed: int = 1
     intervals: int = 100  # log interval
+    # "float32" = bit-parity with the reference recipe; "bfloat16" = mixed
+    # precision (f32 master weights/optimizer, bf16 matmuls + activations,
+    # f32 skip/logit accumulation) — ~1.6x faster per step on v5e
+    dtype: str = "float32"
 
 
 @dataclass

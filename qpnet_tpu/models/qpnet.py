@@ -21,6 +21,16 @@ restructured for the TPU/XLA compilation model rather than translated:
   loss/readout only touches the last `batch_length` positions, which are
   bit-equivalent to the reference's cropped computation.
 
+Precision: compute_dtype=float32 is the bit-parity mode (reference math).
+compute_dtype=bfloat16 is the mixed-precision training mode: bf16 matmuls
+*and* bf16 activation storage between blocks (the step is HBM-bound once
+matmuls run at the bf16 MXU rate, so halving activation traffic is the
+lever), while cross-block reductions — the skip-connection sum and the
+output logits — accumulate in f32, and master weights/optimizer state stay
+f32.  Measured on v5e at the reference shape (B=1, 30030-sample window):
+72 -> 45 ms/step, with a 400-iteration full-scale training trajectory
+matching f32 CE to <0.007.
+
 Rounding note: past-sample indices use round(d*dilation) (round-half-even,
 same as reference generation qpnet.py:613-624). The reference's teacher-forced
 path rounds (t - d*dilation) jointly (qpnet.py:592-611), which differs only on
@@ -128,23 +138,38 @@ def _gate(z: jnp.ndarray, R: int) -> jnp.ndarray:
     return jax.nn.sigmoid(z[..., :R]) * jnp.tanh(z[..., R:])
 
 
-def _matmul(a, w, dtype):
+def _matmul(a, w, dtype, out_dtype=jnp.float32):
+    """Matmul on the last axis with inputs cast to `dtype`.
+
+    out_dtype controls the *stored* result precision: the mixed-precision
+    training path keeps intermediate activations in bf16 (halves the HBM
+    traffic that bounds the step once matmuls run at the bf16 MXU rate)
+    while reductions that accumulate across blocks (skip sum, logits) stay
+    f32.
+    """
     return jax.lax.dot_general(
         a.astype(dtype), w.astype(dtype),
         dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=out_dtype)
+
+
+def _act_dtype(dtype):
+    """Activation storage dtype for a given matmul compute dtype: f32 math
+    stores f32 (bit-parity mode); bf16 math also *stores* bf16."""
+    return jnp.float32 if dtype == jnp.float32 else dtype
 
 
 def fixed_block(p: Params, o: jnp.ndarray, h_up: jnp.ndarray, dil: int,
                 R: int, dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One fixed residual block (reference qpnet.py:657-670)."""
-    z = (_matmul(o, p["W_cur"], dtype)
-         + _matmul(shift_time(o, dil), p["W_prev"], dtype)
-         + _matmul(h_up, p["W_aux"], dtype)
-         + p["b_gate"])
+    act = _act_dtype(dtype)
+    z = (_matmul(o, p["W_cur"], dtype, act)
+         + _matmul(shift_time(o, dil), p["W_prev"], dtype, act)
+         + _matmul(h_up, p["W_aux"], dtype, act)
+         + p["b_gate"].astype(act))
     g = _gate(z, R)
     skip = _matmul(g, p["W_skip"], dtype) + p["b_skip"]
-    res = _matmul(g, p["W_res"], dtype) + p["b_res"]
+    res = _matmul(g, p["W_res"], dtype, act) + p["b_res"].astype(act)
     return o + res, skip
 
 
@@ -155,16 +180,17 @@ def adaptive_block(p: Params, o: jnp.ndarray, h_up: jnp.ndarray,
     r: (B, T) int32 = round(d(t) * dilation), the per-sample look-back.
     """
     B, T, _ = o.shape
+    act = _act_dtype(dtype)
     t = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
     idx = jnp.clip(t - r, 0, T - 1)
     past = jnp.take_along_axis(o, idx[..., None], axis=1)
-    z = (_matmul(o, p["W_cur"], dtype)
-         + _matmul(past, p["W_prev"], dtype)
-         + _matmul(h_up, p["W_aux"], dtype)
-         + p["b_gate"])
+    z = (_matmul(o, p["W_cur"], dtype, act)
+         + _matmul(past, p["W_prev"], dtype, act)
+         + _matmul(h_up, p["W_aux"], dtype, act)
+         + p["b_gate"].astype(act))
     g = _gate(z, R)
     skip = _matmul(g, p["W_skip"], dtype) + p["b_skip"]
-    res = _matmul(g, p["W_res"], dtype) + p["b_res"]
+    res = _matmul(g, p["W_res"], dtype, act) + p["b_res"].astype(act)
     return o + res, skip
 
 
@@ -196,12 +222,14 @@ def forward(params: Params, cfg: ModelConfig,
       (B, T, n_quantize) float32 logits; logits[:, t] predicts x[t+1].
     """
     R = cfg.n_resch
+    act = _act_dtype(compute_dtype)
     if h_up is None:
         h_up = upsample_aux(params, h, cfg.upsampling_factor)
+    h_up = h_up.astype(act)
     # causal input layer: c[t] = E_cur[x[t]] + E_prev[x[t-1]] + b
     o = (jnp.take(params["embed_cur"], x, axis=0)
          + shift_time(jnp.take(params["embed_prev"], x, axis=0), 1)
-         + params["b_causal"]).astype(jnp.float32)
+         + params["b_causal"]).astype(act)
 
     # rematerialize each residual block in the backward pass: stores only the
     # (B, T, R) block boundaries instead of every gate activation — the

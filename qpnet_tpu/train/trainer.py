@@ -71,7 +71,13 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
     per_dev = max(1, tcfg.batch_size // (mesh.size if mesh else 1))
     remat = per_dev * padded_shape(tcfg.max_length,
                                    cfg.upsampling_factor) > 130_000
-    step_fn = make_train_step(cfg, tx, mesh=mesh, remat=remat)
+    compute_dtype = (jnp.bfloat16 if getattr(tcfg, "dtype", "float32")
+                     in ("bfloat16", "bf16") else jnp.float32)
+    if compute_dtype == jnp.bfloat16:
+        logging.info("mixed precision: bf16 matmuls/activations, "
+                     "f32 master weights and loss accumulation")
+    step_fn = make_train_step(cfg, tx, mesh=mesh, remat=remat,
+                              compute_dtype=compute_dtype)
 
     iterations = 0
     loss_record = []
@@ -125,13 +131,16 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
         f0_threshold=tcfg.f0_threshold,
         shuffle=True, seed=tcfg.seed + jax.process_index(), loop=True)
 
-    loss_sum, total_t = 0.0, 0.0
+    # losses stay on device until the logging interval: float(loss) every
+    # step would block on the async-dispatched step and serialize host batch
+    # prep with device compute (a full H2D+sync round-trip per iteration)
+    pending_losses = []
+    interval_start = time.time()
     logging.info("training start!")
     if mesh is not None:
         from qpnet_tpu.parallel import global_min_scalar, make_global_batch
 
     for i in range(iterations, tcfg.iters):
-        start = time.time()
         batch_np = generator.next()
         batch_np.pop("window_lens", None)  # host-side diagnostic only
         if mesh is not None:
@@ -143,17 +152,17 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
         else:
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         state, loss = step_fn(state, batch)
-        loss_sum += float(loss)
-        total_t += time.time() - start
+        pending_losses.append(loss)
         if (i + 1) % tcfg.intervals == 0:
-            avg = loss_sum / tcfg.intervals
-            sec = total_t / tcfg.intervals
+            avg = float(jnp.mean(jnp.stack(pending_losses)))
+            sec = (time.time() - interval_start) / len(pending_losses)
             eta = int((tcfg.iters - (i + 1)) * sec)
             logging.info("(iter:%d) average loss = %.6f (%.3f sec / batch) "
                          "ETA %02d:%02d:%02d", i + 1, avg, sec,
                          eta // 3600, (eta % 3600) // 60, eta % 60)
             loss_record.append(avg)
-            loss_sum, total_t = 0.0, 0.0
+            pending_losses = []
+            interval_start = time.time()
         if (i + 1) % tcfg.checkpoint_interval == 0 and (is_lead
                                                         or save_collective):
             # pickle: only the lead writes (params are replicated); orbax

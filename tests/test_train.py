@@ -67,6 +67,43 @@ def test_loss_decreases():
     assert int(state.iterations) == 30
 
 
+def test_bf16_forward_close_to_f32():
+    """Mixed-precision forward (bf16 matmuls + bf16 activation storage,
+    f32 skip/logit accumulation) stays close to the f32 reference path."""
+    from qpnet_tpu.models.qpnet import forward
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    b = synth_batch(cfg, 2, 200)
+    lg32 = forward(params, cfg, b["x"], b["h"], b["d"],
+                   compute_dtype=jnp.float32)
+    lgbf = forward(params, cfg, b["x"], b["h"], b["d"],
+                   compute_dtype=jnp.bfloat16)
+    assert lgbf.dtype == jnp.float32  # logits accumulate f32
+    scale = np.abs(np.asarray(lg32)).max()
+    err = np.abs(np.asarray(lgbf) - np.asarray(lg32)).max()
+    assert err < 0.05 * scale + 0.05, (err, scale)
+
+
+def test_bf16_step_learns():
+    """The bf16 train step optimizes: same synthetic task as
+    test_loss_decreases, mixed-precision math."""
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(lr=5e-3)
+    step = make_train_step(cfg, tx, remat=False,
+                           compute_dtype=jnp.bfloat16)
+    state = TrainState(params, tx.init(params), jnp.int32(0))
+    batch = {k: jnp.asarray(v) for k, v in synth_batch(cfg, 2, 200).items()}
+    losses = []
+    for _ in range(30):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+    # master weights stay f32
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state.params))
+
+
 def test_remat_matches_no_remat():
     cfg = tiny_cfg()
     params = init_params(jax.random.PRNGKey(1), cfg)
