@@ -37,6 +37,11 @@ def get_arguments(argv=None):
     parser.add_argument("--feature_type", default="world", choices=["world"])
     parser.add_argument("--f0_analyzer", default="harvest",
                         choices=["harvest", "dio"])
+    parser.add_argument("--dsp_backend", default="numpy",
+                        choices=["numpy", "jax"],
+                        help="numpy = float64 host DSP (reference parity); "
+                             "jax = device-batched CheapTrick/D4C "
+                             "(single worker owns the accelerator)")
     parser.add_argument("--feature_format", default="h5", type=str)
     parser.add_argument("--fs", default=22050, type=int)
     parser.add_argument("--shiftms", default=5.0, type=float)
@@ -86,7 +91,8 @@ def world_feature_extract(wav_list, args):
     (reference feature_extract.py:276-361)."""
     analyzer = WorldAnalyzer(fs=args.fs, shiftms=args.shiftms,
                              minf0=args.minf0, maxf0=args.maxf0,
-                             fftl=args.fftl, f0_analyzer=args.f0_analyzer)
+                             fftl=args.fftl, f0_analyzer=args.f0_analyzer,
+                             backend=getattr(args, "dsp_backend", "numpy"))
     for i, wav_name in enumerate(wav_list):
         feat_name = _feat_name(wav_name, args)
         if check_hdf5(feat_name, "/world") and not args.overwrite:
@@ -207,6 +213,11 @@ def main(argv=None):
 
     if args.inv:
         target_fn, path_create = world_feature_extract, featpath_create
+        if args.dsp_backend == "jax" and args.n_jobs > 1:
+            # one accelerator, one worker: forked workers cannot share it
+            logging.info("dsp_backend=jax: clamping n_jobs %d -> 1",
+                         args.n_jobs)
+            args.n_jobs = 1
     else:
         target_fn, path_create = world_speech_synthesis, wavpath_create
     if args.feature_dir is None:

@@ -25,3 +25,6 @@ from qpnet_tpu.dsp.world.codec import (  # noqa: F401
 )
 from qpnet_tpu.dsp.world.synthesis import synthesize  # noqa: F401
 from qpnet_tpu.dsp.world.api import WorldAnalyzer, WorldSynthesizer  # noqa: F401
+from qpnet_tpu.dsp.world.jax_analysis import (  # noqa: F401
+    jax_cheaptrick, jax_d4c, jax_sp2mc,
+)

@@ -30,8 +30,14 @@ from qpnet_tpu.dsp.world.synthesis import synthesize
 class WorldAnalyzer:
     def __init__(self, fs: int = 22050, shiftms: float = 5.0,
                  minf0: float = 40.0, maxf0: float = 800.0,
-                 fftl: int = 1024, f0_analyzer: str = "harvest"):
+                 fftl: int = 1024, f0_analyzer: str = "harvest",
+                 backend: str = "numpy"):
         self.f0_analyzer = f0_analyzer  # "harvest" (sprocket default) | "dio"
+        # backend: "numpy" = float64 host path (reference-parity default);
+        # "jax" = device-batched CheapTrick/D4C/mcep (float32; ~100x the
+        # host throughput on TPU — F0 tracking stays host-side, it is a
+        # sequential heuristic)
+        self.backend = backend
         self.fs = fs
         self.shiftms = shiftms
         self.minf0 = minf0
@@ -54,9 +60,23 @@ class WorldAnalyzer:
                                 f0_ceil=self.maxf0,
                                 frame_period=self.shiftms)
             f0 = stonemask(x, f0, time_axis, self.fs)
-        spc = cheaptrick(x, f0, time_axis, self.fs, fft_size=self.fftl,
-                         f0_floor=max(self.minf0, 71.0 * 1024 / self.fftl))
-        ap = d4c(x, f0, time_axis, self.fs, fft_size=self.fftl)
+        cheaptrick_floor = max(self.minf0, 71.0 * 1024 / self.fftl)
+        if self.backend == "jax":
+            from qpnet_tpu.dsp.world.jax_analysis import (
+                jax_cheaptrick, jax_d4c,
+            )
+            x32 = x.astype(np.float32)
+            spc = np.asarray(jax_cheaptrick(
+                x32, f0.astype(np.float32), time_axis.astype(np.float32),
+                self.fs, fft_size=self.fftl, f0_floor=cheaptrick_floor),
+                np.float64)
+            ap = np.asarray(jax_d4c(
+                x32, f0.astype(np.float32), time_axis.astype(np.float32),
+                self.fs, fft_size=self.fftl), np.float64)
+        else:
+            spc = cheaptrick(x, f0, time_axis, self.fs, fft_size=self.fftl,
+                             f0_floor=cheaptrick_floor)
+            ap = d4c(x, f0, time_axis, self.fs, fft_size=self.fftl)
         self._f0, self._spc, self._ap = f0, spc, ap
         self._time_axis = time_axis
         return f0, spc, ap

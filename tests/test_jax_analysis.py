@@ -45,8 +45,8 @@ def test_jax_cheaptrick_matches_numpy():
     ref_db = 10 * np.log10(np.maximum(ref[4:-4], floor))
     got_db = 10 * np.log10(np.maximum(got[4:-4], floor))
     err = np.abs(ref_db - got_db)
-    assert np.median(err) < 0.5, np.median(err)
-    assert err.mean() < 1.5, err.mean()
+    assert np.median(err) < 0.01, np.median(err)
+    assert err.mean() < 0.05, err.mean()
 
 
 def test_jax_cheaptrick_default_config_low_pitch():
@@ -70,3 +70,65 @@ def test_jax_cheaptrick_default_config_low_pitch():
     got_db = 10 * np.log10(np.maximum(got[4:-4], floor))
     err = np.abs(ref_db - got_db)
     assert err.mean() < 2.0, err.mean()
+
+
+def test_jax_d4c_matches_numpy():
+    """Device D4C vs the host port: per-bin aperiodicity within 0.05 dB,
+    identical voicing decisions, on a vibrato harmonic signal with noise
+    and an unvoiced head."""
+    from qpnet_tpu.dsp.world.d4c import d4c
+    from qpnet_tpu.dsp.world.jax_analysis import jax_d4c
+
+    fs = 22050
+    rng = np.random.default_rng(0)
+    n = fs
+    t = np.arange(n) / fs
+    f0c = 160 + 40 * np.sin(2 * np.pi * 1.1 * t)
+    ph = 2 * np.pi * np.cumsum(f0c) / fs
+    x = sum(a * np.sin(k * ph)
+            for k, a in [(1, .5), (2, .3), (3, .15), (4, .1), (6, .05)])
+    x += 0.03 * rng.normal(size=n)
+    x[: n // 8] = 0.05 * rng.normal(size=n // 8)
+    time_axis = np.arange(0, 0.995, 0.005)
+    F = len(time_axis)
+    f0 = f0c[(time_axis * fs).astype(int)].copy()
+    f0[: F // 8] = 0.0
+
+    ap_host = d4c(x, f0, time_axis, fs)
+    ap_jax = np.asarray(jax_d4c(x, f0, time_axis, fs))
+    assert ap_jax.shape == ap_host.shape
+    db_h = 20 * np.log10(np.maximum(ap_host, 1e-12))
+    db_j = 20 * np.log10(np.maximum(ap_jax, 1e-12))
+    assert np.abs(db_h - db_j).max() < 0.05
+    # voicing safety net agrees exactly (unvoiced rows pinned to ap~1)
+    np.testing.assert_array_equal(ap_host[:, 100] > 0.99,
+                                  ap_jax[:, 100] > 0.99)
+
+
+def test_worldanalyzer_jax_backend_consistent(tmp_path):
+    """WorldAnalyzer(backend='jax') produces the same feature geometry as
+    the numpy backend and stays close where it matters: identical F0
+    (host-side in both), codeap within 0.1 dB, mcep envelope close."""
+    from qpnet_tpu.dsp.world import WorldAnalyzer
+
+    fs = 16000
+    rng = np.random.default_rng(5)
+    n = int(0.6 * fs)
+    f0c = np.linspace(120, 180, n)
+    ph = np.cumsum(f0c / fs)
+    x = (0.5 * (2 * (ph % 1.0) - 1.0) + 0.01 * rng.normal(size=n)) * 12000
+
+    feats = {}
+    for backend in ("numpy", "jax"):
+        an = WorldAnalyzer(fs=fs, minf0=60, maxf0=400, backend=backend)
+        f0, spc, ap = an.analyze(x)
+        feats[backend] = (f0, an.mcep(dim=24, alpha=0.41), an.codeap())
+
+    np.testing.assert_array_equal(feats["numpy"][0], feats["jax"][0])
+    mc_n, mc_j = feats["numpy"][1], feats["jax"][1]
+    assert mc_n.shape == mc_j.shape
+    # envelope gain term and overall shape agree
+    assert np.abs(mc_n[:, 0] - mc_j[:, 0]).mean() < 0.1
+    assert np.abs(mc_n - mc_j).mean() < 0.05
+    ca_n, ca_j = feats["numpy"][2], feats["jax"][2]
+    assert np.abs(ca_n - ca_j).max() < 0.1  # dB
