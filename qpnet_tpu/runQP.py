@@ -54,6 +54,11 @@ def get_arguments(argv=None):
     p.add_argument("--corpus", default="VCC2018")
     p.add_argument("--n_jobs", type=int, default=N_JOBS)
     p.add_argument("--decode_batch_size", type=int, default=None)
+    p.add_argument("--dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="training math for steps 1/2: float32 = "
+                        "reference-parity; bfloat16 = mixed precision "
+                        "(~1.7x faster per step on v5e)")
     return p.parse_args(argv)
 
 
@@ -137,6 +142,7 @@ def main(argv=None):
             "--f0_threshold", str(net_spec["f0_threshold"]),
             "--iters", args.iters,
             "--checkpoint_interval", str(check_interval),
+            "--dtype", args.dtype,
             "--seed", str(SEED), "--resume", resume, "--verbose", "1"])
         remove_temp_file([waveforms, aux_feats])
 
@@ -181,6 +187,7 @@ def main(argv=None):
                     "--f0_threshold", str(net_spec["f0_threshold"]),
                     "--iters", args.uiters,
                     "--checkpoint_interval", str(update_interval),
+                    "--dtype", args.dtype,
                     "--resume", resume, "--seed", str(SEED),
                     "--verbose", "1"])
                 # SD expdir reuses the SI model.conf contents

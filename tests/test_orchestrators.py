@@ -83,8 +83,9 @@ def test_runqp_stages(prj, monkeypatch):
             "-f", str(FS), "-n", "tiny"]
     common = ["-w", "minitr.scp", "-a", "minitr.scp"]
 
-    # stage 1: SI training (4 iters)
-    runQP.main(common + ["-I", "4", "-1"] + base)
+    # stage 1: SI training (4 iters; exercises the mixed-precision flag
+    # pass-through — qpnet_train runs the bf16 step)
+    runQP.main(common + ["-I", "4", "--dtype", "bfloat16", "-1"] + base)
     expdir = os.path.join(prj, "qpnet_models", "Aminitr_Wminitr_d8_tiny")
     assert os.path.exists(os.path.join(expdir, "checkpoint-final.pkl"))
     assert os.path.exists(os.path.join(expdir, "model.conf"))
