@@ -342,12 +342,16 @@ def _pallas_prologue(params, cfg, x_seed, h_pad0, maxd, quantize,
     static_argnames=("cfg", "maxd", "n_steps", "mode", "interpret",
                      "quantize", "const_seed"))
 def _pallas_device_path(params, cfg, x_seed, h_pad, d_frames, seed,
-                        maxd, n_steps, mode, interpret, quantize="none",
-                        const_seed: bool = False):
+                        b_offset, maxd, n_steps, mode, interpret,
+                        quantize="none", const_seed: bool = False):
     """Single-chip jit of the pallas pipeline.  (Running the prologue
-    eagerly costs seconds of per-op dispatch + host round-trips.)"""
+    eagerly costs seconds of per-op dispatch + host round-trips.)
+
+    b_offset: traced scalar — this call's first utterance's GLOBAL batch
+    index, so a batch split into VMEM-fitting sub-batches samples the same
+    PRNG streams as one oversized call would."""
     return _pallas_device_core(params, cfg, x_seed, h_pad, d_frames, seed,
-                               jnp.int32(0), maxd, n_steps, mode, interpret,
+                               b_offset, maxd, n_steps, mode, interpret,
                                quantize, const_seed)
 
 
@@ -425,7 +429,8 @@ def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
                  h: np.ndarray, d: np.ndarray, n_steps: int, maxd: int,
                  seed: int, mode: str, interpret: bool,
                  quantize: str = "none",
-                 const_seed: bool = False) -> np.ndarray:
+                 const_seed: bool = False,
+                 b_offset: int = 0) -> np.ndarray:
     """Generation via the VMEM-resident mega-kernel (ops/gen_kernel.py)."""
     h_pad, d_frames, n_pad_steps = _pallas_host_prep(cfg, h, d, n_steps)
     up = cfg.upsampling_factor
@@ -436,7 +441,7 @@ def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
         out = _pallas_device_path(
             params, cfg, jnp.asarray(x_seed, jnp.int32),
             jnp.asarray(h_pad), jnp.asarray(d_frames),
-            jnp.asarray(seed, jnp.int32),
+            jnp.asarray(seed, jnp.int32), jnp.asarray(b_offset, jnp.int32),
             maxd=maxd, n_steps=n_pad_steps, mode=mode, interpret=interpret,
             quantize=quantize, const_seed=const_seed)
         out = np.asarray(jax.device_get(out)).astype(np.int32)[:, 0, :]
@@ -463,7 +468,7 @@ def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
             packed, cfg, bufF, bufA, x0,
             h_dev[f0_:f1_], d_dev[f0_:f1_], seed_dev,
             B=B, maxd=maxd, n_steps=steps, mode=mode, interpret=interpret,
-            quantize=quantize, step_offset=off)
+            quantize=quantize, step_offset=off, b_offset=b_offset)
         if cfg.n_quantize <= 256:
             samples = _to_uint8(samples)
         # keep the loop fully async: dispatch is non-blocking, so every
@@ -518,6 +523,48 @@ def pallas_engine_available(cfg: ModelConfig, B: int, maxd: int,
     if platform not in ("tpu", "axon"):
         return False
     return vmem_cost_bytes(cfg, B, maxd, quantize) < VMEM_LIMIT
+
+
+def choose_pallas_sub_batch(cfg: ModelConfig, B: int, maxd: int,
+                            quantize: str = "none") -> int:
+    """Largest multiple of 8 (or B itself) <= B whose resident state fits
+    the VMEM budget; 0 if not even one utterance fits.  Multiples of 8
+    keep the set of compiled kernel shapes small across decode batches."""
+    from qpnet_tpu.ops.gen_kernel import VMEM_LIMIT, vmem_cost_bytes
+    if vmem_cost_bytes(cfg, B, maxd, quantize) < VMEM_LIMIT:
+        return B
+    for sub in range((B - 1) // 8 * 8, 0, -8):
+        if vmem_cost_bytes(cfg, sub, maxd, quantize) < VMEM_LIMIT:
+            return sub
+    return 1 if vmem_cost_bytes(cfg, 1, maxd, quantize) < VMEM_LIMIT else 0
+
+
+def _pallas_split_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
+                       h: np.ndarray, d_gen: np.ndarray,
+                       n_samples_list: Sequence[int], maxd: int, seed: int,
+                       mode: str, interpret: bool, quantize: str,
+                       const_seed: bool, sub_B: int) -> List[np.ndarray]:
+    """Run the pallas engine over VMEM-fitting sub-batches of an oversized
+    batch.  Each slice passes its global row index as b_offset, so the
+    counter PRNG produces the same streams as one oversized kernel call
+    would — splitting is invisible in the output.  The final short slice
+    is padded up to sub_B (one kernel shape instead of two compiles)."""
+    B = h.shape[0]
+    rows: List[np.ndarray] = []
+    for s0 in range(0, B, sub_B):
+        s1 = min(s0 + sub_B, B)
+        xs, hs, ds = x_seed[s0:s1], h[s0:s1], d_gen[s0:s1]
+        pad = sub_B - (s1 - s0)
+        if pad:
+            xs = np.concatenate([xs, np.repeat(xs[-1:], pad, 0)], 0)
+            hs = np.concatenate([hs, np.repeat(hs[-1:], pad, 0)], 0)
+            ds = np.concatenate([ds, np.repeat(ds[-1:], pad, 0)], 0)
+        slice_steps = int(max(n_samples_list[s0:s1]))
+        out = _pallas_path(params, cfg, xs, hs, ds[:, :slice_steps],
+                           slice_steps, maxd, seed, mode, interpret,
+                           quantize, const_seed=const_seed, b_offset=s0)
+        rows.extend(out[j] for j in range(s1 - s0))
+    return rows
 
 
 def _frame_constant(d: np.ndarray, up: int) -> bool:
@@ -591,6 +638,7 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     local_B = -(-B // n_dev)
     pallas_fit = pallas_engine_available(cfg, local_B, maxd, quantize)
+    platform_ok = jax.devices()[0].platform in ("tpu", "axon")
     if quantize == "w8a8" and engine == "xla":
         raise ValueError("quantize='w8a8' is a pallas-engine scheme")
     if quantize == "int8_weights" and engine == "pallas":
@@ -598,7 +646,19 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
     use_pallas = (engine == "pallas"
                   or (engine == "auto" and pallas_fit and frame_const
                       and quantize != "int8_weights"))
-    if quantize == "w8a8" and not use_pallas:
+    # an oversized batch on a real TPU splits into VMEM-fitting pallas
+    # sub-batches (bit-identical via per-slice b_offset) instead of
+    # dropping to the ~3x slower scan engine
+    split_sub = 0
+    if (engine in ("auto", "pallas") and not pallas_fit and platform_ok
+            and frame_const and quantize != "int8_weights"
+            and mesh is None and not interpret):
+        split_sub = choose_pallas_sub_batch(cfg, B, maxd, quantize)
+        if split_sub >= B:
+            split_sub = 0  # fits after all — take the single-call path
+        if split_sub:
+            use_pallas = False
+    if quantize == "w8a8" and not use_pallas and not split_sub:
         # the scan engine has no W8A8 scheme; silently decoding in bf16
         # under a quantization flag would misreport the numerics
         raise ValueError(
@@ -606,17 +666,21 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
             "unavailable here (no TPU, VMEM budget, or within-frame "
             "dilation variation) — drop the flag or use 'int8_weights' "
             "with engine='xla'")
-    if engine == "auto" and not use_pallas:
+    import logging as _logging
+    if split_sub:
+        _logging.info(
+            "batch_fast_generate: batch %d exceeds the pallas VMEM budget "
+            "at maxd=%d; splitting into sub-batches of %d (bit-identical "
+            "to one oversized kernel call)", B, maxd, split_sub)
+    elif engine == "auto" and not use_pallas:
         reasons = []
         if not frame_const:
             reasons.append("dilation factors vary within frames")
         if not pallas_fit:
-            import jax as _jax
-            platform = _jax.devices()[0].platform
+            platform = jax.devices()[0].platform
             reasons.append(
                 f"VMEM budget exceeded (B={local_B}, maxd={maxd})"
-                if platform in ("tpu", "axon") else f"platform={platform}")
-        import logging as _logging
+                if platform_ok else f"platform={platform}")
         _logging.info(
             "batch_fast_generate: using the XLA scan engine (~3x slower "
             "per chip than pallas) because %s", "; ".join(reasons))
@@ -630,6 +694,12 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
             "replicated first-frame aux and d=1 (not the true history "
             "track); outputs near the seed boundary deviate from the "
             "reference's continuation semantics", x.shape[1])
+    if split_sub:
+        rows = _pallas_split_path(
+            params, cfg, np.asarray(x_seed, np.int32),
+            np.asarray(h, np.float32), d_gen, list(n_samples_list), maxd,
+            seed, mode, interpret, quantize, const_seed, split_sub)
+        return [rows[i][:n] for i, n in enumerate(n_samples_list)]
     if use_pallas and mesh is not None:
         # batch sharded over dp; per-chip VMEM-resident kernels; the
         # counter PRNG keys off global utterance indices so the output is

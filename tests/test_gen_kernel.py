@@ -84,3 +84,48 @@ def test_pallas_matches_xla_with_real_seed_history():
     A, Bm = np.stack(a), np.stack(b)
     assert (A[:, 0] == Bm[:, 0]).all(), "first sample diverges"
     assert (A[:, :40] == Bm[:, :40]).mean() > 0.85
+
+
+@pytest.mark.slow
+def test_split_path_bit_identical_to_oversized_call():
+    """A batch split into VMEM-fitting pallas sub-batches (with global
+    b_offset per slice) must reproduce the one-call kernel output exactly —
+    the guarantee behind the oversized-batch auto-split in
+    batch_fast_generate."""
+    from qpnet_tpu.models.generate import (
+        _frame_constant, _pallas_path, _pallas_split_path, bucket_maxd,
+    )
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(2)
+    B, F = 5, 10
+    up = cfg.upsampling_factor
+    n = F * up - 1
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.repeat(rng.uniform(1.0, 3.0, size=(B, F)), up,
+                  axis=1).astype(np.float32)[:, :n]
+    assert _frame_constant(d, up)
+    maxd = bucket_maxd(float(np.ceil(d).max()))
+    rf = cfg.receptiveF + cfg.receptiveA * maxd + cfg.receptive_causal
+    x_seed = np.full((B, rf + 1), cfg.n_quantize // 2, np.int32)
+
+    one = _pallas_path(params, cfg, x_seed, h, d, n, maxd, seed=7,
+                       mode="sampling", interpret=True, const_seed=True)
+    rows = _pallas_split_path(params, cfg, x_seed, h, d, [n] * B, maxd,
+                              seed=7, mode="sampling", interpret=True,
+                              quantize="none", const_seed=True, sub_B=2)
+    for i in range(B):
+        np.testing.assert_array_equal(one[i, :n], rows[i][:n])
+
+
+def test_choose_pallas_sub_batch():
+    from qpnet_tpu.models.generate import choose_pallas_sub_batch
+    from qpnet_tpu.ops import gen_kernel
+    cfg = tiny_cfg()
+    # a huge batch must come back as a multiple of 8 that fits the budget
+    sub = choose_pallas_sub_batch(cfg, 10_000_000, maxd=4)
+    assert 0 < sub < 10_000_000 and sub % 8 == 0
+    assert gen_kernel.vmem_cost_bytes(cfg, sub, 4, "none") \
+        < gen_kernel.VMEM_LIMIT
+    # a batch that fits comes back unchanged
+    assert choose_pallas_sub_batch(cfg, 4, maxd=4) == 4
