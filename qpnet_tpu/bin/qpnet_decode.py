@@ -110,15 +110,24 @@ def main(argv=None):
     set_loglevel(args.verbose)
     for key, value in vars(args).items():
         logging.info("%s = %s", key, str(value))
-    if "feat_id" not in args.outdir:
-        # the reference contract is a path template containing `feat_id`
-        # (runQP.py builds ".../feat_id.wav"); a plain directory would make
-        # every utterance overwrite the same file — treat it as a directory
-        # instead of failing silently
-        args.outdir = os.path.join(args.outdir, "feat_id.wav")
-        logging.info("--outdir has no feat_id placeholder; writing %s",
-                     args.outdir)
-    outdir_parent = os.path.dirname(args.outdir)
+    # the reference contract is a path template whose *filename* contains
+    # `feat_id` (runQP.py builds ".../feat_id.wav"); a plain directory would
+    # make every utterance overwrite the same file — treat it as a
+    # directory.  The check anchors to the basename, and directory mode
+    # joins paths directly so a directory component that happens to contain
+    # the substring (e.g. .../feat_ids/) is never template-substituted.
+    outdir_is_dir = "feat_id" not in os.path.basename(args.outdir)
+    if outdir_is_dir:
+        logging.info("--outdir has no feat_id placeholder in its filename; "
+                     "writing %s/<feat_id>.wav", args.outdir)
+
+    def wav_path(feat_id):
+        if outdir_is_dir:
+            return os.path.join(args.outdir, feat_id + ".wav")
+        return args.outdir.replace("feat_id", feat_id)
+
+    outdir_parent = args.outdir if outdir_is_dir \
+        else os.path.dirname(args.outdir)
     if outdir_parent and not os.path.isdir(outdir_parent):
         os.makedirs(outdir_parent, exist_ok=True)
 
@@ -156,7 +165,7 @@ def main(argv=None):
             seed=args.seed, mode=args.mode, engine=args.engine, mesh=mesh)
         for feat_id, samples in zip(feat_ids, samples_list):
             wav = decode_mu_law(samples, cfg.n_quantize)
-            wav_filename = args.outdir.replace("feat_id", feat_id)
+            wav_filename = wav_path(feat_id)
             os.makedirs(os.path.dirname(wav_filename) or ".", exist_ok=True)
             wav = np.clip(wav * 32768, -32768, 32767)
             wavfile.write(wav_filename, args.fs, wav.astype(np.int16))

@@ -65,14 +65,29 @@ class WorldAnalyzer:
             from qpnet_tpu.dsp.world.jax_analysis import (
                 jax_cheaptrick, jax_d4c,
             )
-            x32 = x.astype(np.float32)
+            F = len(f0)
+            # bucket signal/frame lengths to whole seconds so the jitted
+            # analysis compiles once per duration bucket instead of once
+            # per utterance; n_valid masks the zero pad exactly
+            n = len(x)
+            secs = max(1, -(-n // self.fs))
+            n_pad = secs * self.fs
+            frames_per_sec = int(round(1000.0 / self.shiftms))
+            F_pad = max(F, secs * frames_per_sec + 1)
+            x32 = np.zeros(n_pad, np.float32)
+            x32[:n] = x
+            f32 = np.zeros(F_pad, np.float32)
+            f32[:F] = f0
+            t32 = np.arange(F_pad, dtype=np.float32) * (self.shiftms / 1000)
+            t32[:F] = time_axis
             spc = np.asarray(jax_cheaptrick(
-                x32, f0.astype(np.float32), time_axis.astype(np.float32),
-                self.fs, fft_size=self.fftl, f0_floor=cheaptrick_floor),
-                np.float64)
+                x32, f32, t32, self.fs, fft_size=self.fftl,
+                f0_floor=cheaptrick_floor, f0_ceil=float(self.maxf0),
+                n_valid=n), np.float64)[:F]
             ap = np.asarray(jax_d4c(
-                x32, f0.astype(np.float32), time_axis.astype(np.float32),
-                self.fs, fft_size=self.fftl), np.float64)
+                x32, f32, t32, self.fs, fft_size=self.fftl,
+                f0_ceil=float(max(self.maxf0, 1000.0)),
+                n_valid=n), np.float64)[:F]
         else:
             spc = cheaptrick(x, f0, time_axis, self.fs, fft_size=self.fftl,
                              f0_floor=cheaptrick_floor)
@@ -87,6 +102,16 @@ class WorldAnalyzer:
 
     def mcep(self, dim: int = 34, alpha: float = 0.455) -> np.ndarray:
         self._require()
+        if self.backend == "jax":
+            from qpnet_tpu.dsp.world.jax_analysis import jax_sp2mc
+            # pad to the same whole-second frame buckets as analyze() so
+            # the scan compiles once per duration bucket
+            F = self._spc.shape[0]
+            frames_per_sec = int(round(1000.0 / self.shiftms))
+            F_pad = -(-F // frames_per_sec) * frames_per_sec + 1
+            spc = np.ones((F_pad, self._spc.shape[1]), np.float32)
+            spc[:F] = self._spc
+            return np.asarray(jax_sp2mc(spc, dim, alpha), np.float64)[:F]
         return sp2mc(self._spc, dim, alpha)
 
     def codeap(self) -> np.ndarray:

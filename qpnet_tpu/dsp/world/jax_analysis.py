@@ -31,18 +31,28 @@ import numpy as np
 from qpnet_tpu.dsp.world.cheaptrick import DEFAULT_F0, Q1
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "fft_size", "f0_floor"))
+@functools.partial(jax.jit, static_argnames=("fs", "fft_size", "f0_floor",
+                                              "f0_ceil"))
 def jax_cheaptrick(x: jnp.ndarray, f0: jnp.ndarray, time_axis: jnp.ndarray,
                    fs: int, fft_size: int = 1024,
-                   f0_floor: float = 71.0) -> jnp.ndarray:
+                   f0_floor: float = 71.0, f0_ceil: float = 800.0,
+                   n_valid=None) -> jnp.ndarray:
     """CheapTrick spectral envelope, vectorized over frames.
 
     x: (n,) float waveform;  f0/time_axis: (F,).
+    f0_ceil (static) sizes the DC-correction and smoothing windows — pass
+    the analysis f0_ceil when tracking above 800 Hz (singing corpora).
+    n_valid (traced): true signal length when x is padded to a bucketed
+    length for compile-cache reuse; samples at index >= n_valid are
+    treated as outside the signal.
     Returns (F, fft_size//2+1) power spectrogram.
     """
     x = jnp.asarray(x, jnp.float32)
     f0 = jnp.asarray(f0, jnp.float32)
+    if n_valid is None:
+        n_valid = x.shape[0]
     half = fft_size // 2
+    ceil_f0 = max(float(f0_ceil), DEFAULT_F0)
     cf0 = jnp.where(f0 > f0_floor / 2, f0, DEFAULT_F0)
     # WORLD's fit guarantee: below f0_low_limit the 3-period window cannot
     # fit fft_size (rfft would silently crop it) -> default F0, like the
@@ -62,7 +72,7 @@ def jax_cheaptrick(x: jnp.ndarray, f0: jnp.ndarray, time_axis: jnp.ndarray,
         half_w = jnp.floor(1.5 * fs / cf + 0.5).astype(jnp.int32)
         mask = jnp.abs(base) <= half_w
         idx = center + base
-        seg = jnp.where((idx >= 0) & (idx < x.shape[0]) & mask,
+        seg = jnp.where((idx >= 0) & (idx < n_valid) & mask,
                         x[jnp.clip(idx, 0, x.shape[0] - 1)], 0.0)
         w = jnp.where(mask,
                       0.5 + 0.5 * jnp.cos(jnp.pi * (base / fs) * cf / 1.5),
@@ -73,13 +83,13 @@ def jax_cheaptrick(x: jnp.ndarray, f0: jnp.ndarray, time_axis: jnp.ndarray,
         return jnp.abs(jnp.fft.rfft(windowed, fft_size)) ** 2
 
     ps = jax.vmap(frame_ps)(centers, cf0)           # (F, half+1)
-    # mirror sub-f0 bins (WORLD DCCorrection)
-    jmax = min(2 + int(1000.0 * fft_size / fs) + 1, half)
+    # mirror sub-f0 bins (WORLD DCCorrection); window sizes cover ceil_f0
+    jmax = min(2 + int(ceil_f0 * fft_size / fs) + 2, half)
     ps = _jax_dc_correct(ps, cf0, fs, fft_size, jmax)
 
     # f0-adaptive fractional box smoothing over width 2*f0/3
     bin_hz = fs / fft_size
-    K = int(np.ceil((2.0 * 800.0 / 3.0) / bin_hz / 2)) + 2
+    K = int(np.ceil((2.0 * ceil_f0 / 3.0) / bin_hz / 2)) + 2
     # mirror-extend the spectrum on both edges
     ext = jnp.concatenate([ps[:, 1: K + 1][:, ::-1], ps,
                            ps[:, -K - 1: -1][:, ::-1]], axis=1)
@@ -144,7 +154,7 @@ def _d4c_static(fs: int, fft_size: int):
     return c
 
 
-def _jax_windowed(x, origin, cf0, fs, ratio, kind, max_hw):
+def _jax_windowed(x, origin, cf0, fs, ratio, kind, max_hw, n_valid=None):
     """F0-adaptive windowed segment in a fixed (2*max_hw+1,) slot.
 
     Exact counterpart of common.get_windowed_waveform: indices are edge-
@@ -157,7 +167,8 @@ def _jax_windowed(x, origin, cf0, fs, ratio, kind, max_hw):
     base = jnp.arange(-max_hw, max_hw + 1)
     half = jnp.floor(ratio * fs / cf0 / 2.0 + 0.5).astype(jnp.int32)
     mask = jnp.abs(base) <= half
-    seg = x[jnp.clip(origin + base, 0, x.shape[0] - 1)]
+    n = x.shape[0] if n_valid is None else n_valid
+    seg = x[jnp.clip(origin + base, 0, n - 1)]
     posf0 = (2.0 * base / ratio) / fs * cf0
     if kind == "blackman":
         w = (0.42 + 0.5 * jnp.cos(jnp.pi * posf0)
@@ -205,10 +216,12 @@ def _jax_linear_smoothing(spec, width_hz, fs, fft_size, kmax):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("fs", "fft_size", "threshold"))
+@functools.partial(jax.jit, static_argnames=("fs", "fft_size", "threshold",
+                                              "f0_ceil"))
 def jax_d4c(x: jnp.ndarray, f0: jnp.ndarray, time_axis: jnp.ndarray,
             fs: int, fft_size: int = 1024,
-            threshold: float = 0.85) -> jnp.ndarray:
+            threshold: float = 0.85, f0_ceil: float = 1000.0,
+            n_valid=None) -> jnp.ndarray:
     """D4C band aperiodicity, vectorized over frames (device-runnable).
 
     Same algorithm as dsp/world/d4c.py (the host port of WORLD's published
@@ -225,6 +238,9 @@ def jax_d4c(x: jnp.ndarray, f0: jnp.ndarray, time_axis: jnp.ndarray,
     c = _d4c_static(fs, fft_size)
     x = jnp.asarray(x, jnp.float32)
     f0 = jnp.asarray(f0, jnp.float32)
+    if n_valid is None:
+        n_valid = x.shape[0]
+    ceil_f0 = max(float(f0_ceil), FLOOR_F0_D4C)
     F = f0.shape[0]
     origins = jnp.floor(time_axis * fs + 0.501).astype(jnp.int32)
 
@@ -232,7 +248,7 @@ def jax_d4c(x: jnp.ndarray, f0: jnp.ndarray, time_axis: jnp.ndarray,
     cf0_lt = jnp.maximum(f0, 40.0)
     def love_frame(origin, cf):
         seg, _ = _jax_windowed(x, origin, cf, fs, 3.0, "blackman",
-                               c["max_hw_lt"])
+                               c["max_hw_lt"], n_valid)
         ps = jnp.abs(jnp.fft.rfft(seg, c["fft_lt"])) ** 2
         cum = jnp.cumsum(ps)
         return (cum[c["b1"]] - cum[c["b0"]]) / jnp.maximum(
@@ -250,7 +266,7 @@ def jax_d4c(x: jnp.ndarray, f0: jnp.ndarray, time_axis: jnp.ndarray,
             org = jnp.floor((time_axis + pos_shift) * fs + 0.501).astype(jnp.int32)
             def fr(o, cf):
                 seg, half = _jax_windowed(x, o, cf, fs, 4.0, "blackman",
-                                          c["max_hw"])
+                                          c["max_hw"], n_valid)
                 power = jnp.sqrt(jnp.sum(seg * seg))
                 seg = jnp.where(power > 0.0, seg / jnp.maximum(power, 1e-30),
                                 0.0)
@@ -261,41 +277,49 @@ def jax_d4c(x: jnp.ndarray, f0: jnp.ndarray, time_axis: jnp.ndarray,
             return jax.vmap(fr)(org, cf0)
         return one(-1.0) + one(1.0)
 
-    jmax = min(2 + int(1000.0 * fftd / fs) + 1, fftd // 2)
-    kmax = int(np.ceil(1000.0 / (fs / fftd) / 2)) + 2
-    static_centroid = _jax_dc_correct(centroid(), cf0, fs, fftd, jmax)
+    jmax = min(2 + int(ceil_f0 * fftd / fs) + 2, fftd // 2)
+    kmax = int(np.ceil(ceil_f0 / (fs / fftd) / 2)) + 2
 
-    def smoothed_ps_frame(origin, cf):
-        seg, _ = _jax_windowed(x, origin, cf, fs, 4.0, "hanning", c["max_hw"])
-        return jnp.abs(jnp.fft.rfft(seg, fftd)) ** 2
-    sm_ps = jax.vmap(smoothed_ps_frame)(origins, cf0)
-    sm_ps = _jax_dc_correct(sm_ps, cf0, fs, fftd, jmax)
-    sm_ps = _jax_linear_smoothing(sm_ps, cf0, fs, fftd, kmax)
+    if c["n_bands"] == 0:
+        # narrowband fs (<= ~8 kHz): no 3 kHz coarse bands below
+        # fs/2 - 3000 — the spectrum interpolates straight between the DC
+        # and Nyquist anchors, exactly as the host path does
+        coarse = jnp.zeros((F, 0))
+    else:
+        static_centroid = _jax_dc_correct(centroid(), cf0, fs, fftd, jmax)
 
-    sgd = static_centroid / jnp.maximum(sm_ps, 1e-30)
-    sgd = _jax_linear_smoothing(sgd, cf0 / 2.0, fs, fftd, kmax)
-    sgd = sgd - _jax_linear_smoothing(sgd, cf0, fs, fftd, kmax)
+        def smoothed_ps_frame(origin, cf):
+            seg, _ = _jax_windowed(x, origin, cf, fs, 4.0, "hanning",
+                                   c["max_hw"], n_valid)
+            return jnp.abs(jnp.fft.rfft(seg, fftd)) ** 2
+        sm_ps = jax.vmap(smoothed_ps_frame)(origins, cf0)
+        sm_ps = _jax_dc_correct(sm_ps, cf0, fs, fftd, jmax)
+        sm_ps = _jax_linear_smoothing(sm_ps, cf0, fs, fftd, kmax)
 
-    # --- coarse aperiodicity per 3 kHz band ---
-    wl = c["window_length"]
-    hw = wl // 2
-    halfd = c["half_d4c"]
-    coarse_list = []
-    for i in range(c["n_bands"]):
-        center = int(3000.0 * (i + 1) * fftd / fs)
-        idx = np.arange(center - hw, center - hw + wl)
-        valid = (idx >= 0) & (idx <= halfd)
-        seg = jnp.where(jnp.asarray(valid)[None, :],
-                        sgd[:, jnp.asarray(np.clip(idx, 0, halfd))], 0.0)
-        ps = jnp.abs(jnp.fft.rfft(seg * jnp.asarray(c["window"],
-                                                    jnp.float32),
-                                  fftd, axis=1)) ** 2
-        cum = jnp.cumsum(jnp.sort(ps, axis=1), axis=1)
-        coarse_list.append(10.0 * jnp.log10(
-            jnp.maximum(cum[:, halfd - c["boundary"] - 1], 1e-30)
-            / cum[:, halfd]))
-    coarse = jnp.stack(coarse_list, axis=1)  # (F, n_bands)
-    coarse = jnp.minimum(0.0, coarse + (cf0[:, None] - 100.0) / 50.0)
+        sgd = static_centroid / jnp.maximum(sm_ps, 1e-30)
+        sgd = _jax_linear_smoothing(sgd, cf0 / 2.0, fs, fftd, kmax)
+        sgd = sgd - _jax_linear_smoothing(sgd, cf0, fs, fftd, kmax)
+
+        # --- coarse aperiodicity per 3 kHz band ---
+        wl = c["window_length"]
+        hw = wl // 2
+        halfd = c["half_d4c"]
+        coarse_list = []
+        for i in range(c["n_bands"]):
+            center = int(3000.0 * (i + 1) * fftd / fs)
+            idx = np.arange(center - hw, center - hw + wl)
+            valid = (idx >= 0) & (idx <= halfd)
+            seg = jnp.where(jnp.asarray(valid)[None, :],
+                            sgd[:, jnp.asarray(np.clip(idx, 0, halfd))], 0.0)
+            ps = jnp.abs(jnp.fft.rfft(seg * jnp.asarray(c["window"],
+                                                        jnp.float32),
+                                      fftd, axis=1)) ** 2
+            cum = jnp.cumsum(jnp.sort(ps, axis=1), axis=1)
+            coarse_list.append(10.0 * jnp.log10(
+                jnp.maximum(cum[:, halfd - c["boundary"] - 1], 1e-30)
+                / cum[:, halfd]))
+        coarse = jnp.stack(coarse_list, axis=1)  # (F, n_bands)
+        coarse = jnp.minimum(0.0, coarse + (cf0[:, None] - 100.0) / 50.0)
 
     # --- interpolate band anchors over the output spectrum ---
     anchors_f = np.concatenate([[0.0], c["bands"], [fs / 2.0]])

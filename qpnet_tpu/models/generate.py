@@ -106,12 +106,17 @@ def _prime_activations(params: Params, cfg: ModelConfig,
          + shift_time(jnp.take(params["embed_prev"], x_ctx, axis=0), 1)
          + params["b_causal"]).astype(jnp.float32)
     acts = [o]
+    # act_dtype=f32: priming must match the per-step scan body, which
+    # accumulates z/out in f32 (bf16 `dtype` only selects the matmul
+    # input precision here, exactly as in the step)
     for p, dil in zip(params["fixed"], cfg.dilationsF):
-        o, _ = fixed_block(p, o, h_up_ctx, dil, R, dtype)
+        o, _ = fixed_block(p, o, h_up_ctx, dil, R, dtype,
+                           act_dtype=jnp.float32)
         acts.append(o)
     for p, dil in zip(params["adaptive"], cfg.dilationsA):
         r = jnp.round(d_ctx * dil).astype(jnp.int32)
-        o, _ = adaptive_block(p, o, h_up_ctx, r, R, dtype)
+        o, _ = adaptive_block(p, o, h_up_ctx, r, R, dtype,
+                              act_dtype=jnp.float32)
         acts.append(o)
     return acts  # len = 1 + nF + nA; acts[i] is input of layer i
 
@@ -536,7 +541,11 @@ def choose_pallas_sub_batch(cfg: ModelConfig, B: int, maxd: int,
     for sub in range((B - 1) // 8 * 8, 0, -8):
         if vmem_cost_bytes(cfg, sub, maxd, quantize) < VMEM_LIMIT:
             return sub
-    return 1 if vmem_cost_bytes(cfg, 1, maxd, quantize) < VMEM_LIMIT else 0
+    # no multiple of 8 fits (or B <= 8): take the largest size that does
+    for sub in range(min(7, B - 1), 0, -1):
+        if vmem_cost_bytes(cfg, sub, maxd, quantize) < VMEM_LIMIT:
+            return sub
+    return 0
 
 
 def _pallas_split_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,

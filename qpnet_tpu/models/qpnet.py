@@ -160,9 +160,14 @@ def _act_dtype(dtype):
 
 
 def fixed_block(p: Params, o: jnp.ndarray, h_up: jnp.ndarray, dil: int,
-                R: int, dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """One fixed residual block (reference qpnet.py:657-670)."""
-    act = _act_dtype(dtype)
+                R: int, dtype, *, act_dtype=None
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One fixed residual block (reference qpnet.py:657-670).
+
+    act_dtype overrides the activation storage dtype (the decode engines'
+    priming pass keeps f32 accumulation regardless of the matmul dtype so
+    primed ring buffers match the per-step scan math bit-for-bit)."""
+    act = act_dtype if act_dtype is not None else _act_dtype(dtype)
     z = (_matmul(o, p["W_cur"], dtype, act)
          + _matmul(shift_time(o, dil), p["W_prev"], dtype, act)
          + _matmul(h_up, p["W_aux"], dtype, act)
@@ -174,13 +179,15 @@ def fixed_block(p: Params, o: jnp.ndarray, h_up: jnp.ndarray, dil: int,
 
 
 def adaptive_block(p: Params, o: jnp.ndarray, h_up: jnp.ndarray,
-                   r: jnp.ndarray, R: int, dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+                   r: jnp.ndarray, R: int, dtype, *, act_dtype=None
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One pitch-adaptive residual block (reference qpnet.py:626-640).
 
     r: (B, T) int32 = round(d(t) * dilation), the per-sample look-back.
+    act_dtype: see fixed_block.
     """
     B, T, _ = o.shape
-    act = _act_dtype(dtype)
+    act = act_dtype if act_dtype is not None else _act_dtype(dtype)
     t = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
     idx = jnp.clip(t - r, 0, T - 1)
     past = jnp.take_along_axis(o, idx[..., None], axis=1)

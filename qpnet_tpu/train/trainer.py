@@ -153,7 +153,8 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         state, loss = step_fn(state, batch)
         pending_losses.append(loss)
-        if (i + 1) % tcfg.intervals == 0:
+        logged = (i + 1) % tcfg.intervals == 0
+        if logged:
             avg = float(jnp.mean(jnp.stack(pending_losses)))
             sec = (time.time() - interval_start) / len(pending_losses)
             eta = int((tcfg.iters - (i + 1)) * sec)
@@ -162,15 +163,20 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
                          eta // 3600, (eta % 3600) // 60, eta % 60)
             loss_record.append(avg)
             pending_losses = []
-            interval_start = time.time()
         if (i + 1) % tcfg.checkpoint_interval == 0 and (is_lead
                                                         or save_collective):
             # pickle: only the lead writes (params are replicated); orbax
             # multi-host saves are collective barriers — EVERY process
             # must call or the lead deadlocks in the commit sync
+            t_save = time.time()
             save_checkpoint(expdir, state.params, state.opt_state, i + 1)
+            # checkpoint-write seconds must not inflate the next logged
+            # sec/batch and ETA
+            interval_start += time.time() - t_save
             if is_lead:
                 logging.info("%d-iter checkpoint created.", i + 1)
+        if logged:
+            interval_start = time.time()
 
     if is_lead or save_collective:
         save_final(expdir, state.params)

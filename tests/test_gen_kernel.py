@@ -129,3 +129,19 @@ def test_choose_pallas_sub_batch():
         < gen_kernel.VMEM_LIMIT
     # a batch that fits comes back unchanged
     assert choose_pallas_sub_batch(cfg, 4, maxd=4) == 4
+
+
+def test_choose_pallas_sub_batch_small_batches(monkeypatch):
+    """When no multiple of 8 fits (or B <= 8), the chooser must still find
+    the largest fitting size instead of collapsing to per-utterance calls."""
+    from qpnet_tpu.models.generate import choose_pallas_sub_batch
+    from qpnet_tpu.ops import gen_kernel
+    cfg = tiny_cfg()
+    monkeypatch.setattr(gen_kernel, "vmem_cost_bytes",
+                        lambda cfg, B, maxd, q="none": B * 10)
+    monkeypatch.setattr(gen_kernel, "VMEM_LIMIT", 45)
+    # B=8 costs 80 > 45; sizes 4..1 fit (40..10): expect 4, not 1
+    assert choose_pallas_sub_batch(cfg, 8, maxd=4) == 4
+    assert choose_pallas_sub_batch(cfg, 100, maxd=4) == 4
+    monkeypatch.setattr(gen_kernel, "VMEM_LIMIT", 5)
+    assert choose_pallas_sub_batch(cfg, 8, maxd=4) == 0

@@ -132,3 +132,46 @@ def test_worldanalyzer_jax_backend_consistent(tmp_path):
     assert np.abs(mc_n - mc_j).mean() < 0.05
     ca_n, ca_j = feats["numpy"][2], feats["jax"][2]
     assert np.abs(ca_n - ca_j).max() < 0.1  # dB
+
+
+def test_jax_d4c_narrowband_no_bands():
+    """fs <= ~8 kHz yields zero 3 kHz coarse bands; the device path must
+    interpolate straight between the DC/Nyquist anchors like the host."""
+    from qpnet_tpu.dsp.world.d4c import d4c
+    from qpnet_tpu.dsp.world.jax_analysis import jax_d4c
+
+    fs = 8000
+    rng = np.random.default_rng(1)
+    n = fs // 2
+    t = np.arange(n) / fs
+    ph = 2 * np.pi * np.cumsum(np.full(n, 150.0)) / fs
+    x = 0.6 * np.sin(ph) + 0.2 * np.sin(2 * ph) + 0.02 * rng.normal(size=n)
+    ta = np.arange(0, 0.49, 0.005)
+    f0 = np.full(len(ta), 150.0)
+    ap_h = d4c(x, f0, ta, fs, fft_size=512)
+    ap_j = np.asarray(jax_d4c(x, f0, ta, fs, fft_size=512))
+    db = lambda a: 20 * np.log10(np.maximum(a, 1e-12))
+    assert np.abs(db(ap_h) - db(ap_j)).max() < 0.05
+
+
+def test_jax_backend_padding_invariance():
+    """Bucketed length padding + n_valid masking must not change results:
+    analyzing a signal alone vs the same signal zero-padded a second
+    longer gives identical envelopes on the true frames."""
+    from qpnet_tpu.dsp.world.jax_analysis import jax_cheaptrick, jax_d4c
+
+    fs = 16000
+    rng = np.random.default_rng(4)
+    n = int(0.55 * fs)
+    ph = 2 * np.pi * np.cumsum(np.full(n, 140.0)) / fs
+    x = (0.5 * np.sin(ph) + 0.02 * rng.normal(size=n)).astype(np.float32)
+    ta = np.arange(0, 0.54, 0.005).astype(np.float32)
+    f0 = np.full(len(ta), 140.0, np.float32)
+
+    x_pad = np.concatenate([x, np.zeros(fs - n % fs, np.float32)])
+    sp_a = np.asarray(jax_cheaptrick(x, f0, ta, fs, n_valid=len(x)))
+    sp_b = np.asarray(jax_cheaptrick(x_pad, f0, ta, fs, n_valid=len(x)))
+    np.testing.assert_array_equal(sp_a, sp_b)
+    ap_a = np.asarray(jax_d4c(x, f0, ta, fs, n_valid=len(x)))
+    ap_b = np.asarray(jax_d4c(x_pad, f0, ta, fs, n_valid=len(x)))
+    np.testing.assert_array_equal(ap_a, ap_b)
