@@ -47,6 +47,11 @@ def get_arguments(argv=None):
     p.add_argument("--prj_dir", default=os.environ.get("QPNET_PRJ_DIR", "."))
     p.add_argument("--corpus", default="VCC2018")
     p.add_argument("--n_jobs", type=int, default=N_JOBS)
+    p.add_argument("--dsp_backend", default="numpy",
+                   choices=["numpy", "jax"],
+                   help="step 2 spectral analysis: numpy = float64 host "
+                        "pool (parity default); jax = device-batched "
+                        "CheapTrick/D4C/mcep")
     return p.parse_args(argv)
 
 
@@ -116,6 +121,7 @@ def main(argv=None):
             "--save_spc", str(SAVE_SPC), "--save_npow", str(SAVE_NPOW),
             "--save_extended", str(SAVE_EXTEND), "--save_vad", str(SAVE_VAD),
             "--overwrite", str(args.replace), "--inv", str(args.inverse),
+            "--dsp_backend", args.dsp_backend,
             "--n_jobs", str(args.n_jobs)])
 
     if args.step3:

@@ -64,15 +64,18 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
     logging.info("number of model parameters: %d", count_params(params))
 
     tx = make_optimizer(lr=tcfg.lr, weight_decay=tcfg.weight_decay)
-    # rematerialization trades ~25% step time for activation memory; only
-    # needed once the per-device activation footprint gets large (B=1..4
-    # windows of 30k samples fit a 16GB v5e without it)
-    from qpnet_tpu.data.batcher import padded_shape
-    per_dev = max(1, tcfg.batch_size // (mesh.size if mesh else 1))
-    remat = per_dev * padded_shape(tcfg.max_length,
-                                   cfg.upsampling_factor) > 130_000
     compute_dtype = (jnp.bfloat16 if getattr(tcfg, "dtype", "float32")
                      in ("bfloat16", "bf16") else jnp.float32)
+    # rematerialization trades ~25% step time for activation memory; only
+    # needed once the per-device activation footprint gets large (B=1..4
+    # f32 windows of 30k samples fit a 16GB v5e without it; bf16 stores
+    # halve the footprint, doubling the no-remat headroom — B=8 bf16
+    # measured 416 vs 518 ms/step)
+    from qpnet_tpu.data.batcher import padded_shape
+    per_dev = max(1, tcfg.batch_size // (mesh.size if mesh else 1))
+    remat_threshold = 130_000 if compute_dtype == jnp.float32 else 260_000
+    remat = per_dev * padded_shape(tcfg.max_length,
+                                   cfg.upsampling_factor) > remat_threshold
     if compute_dtype == jnp.bfloat16:
         logging.info("mixed precision: bf16 matmuls/activations, "
                      "f32 master weights and loss accumulation")
