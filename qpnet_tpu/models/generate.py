@@ -557,9 +557,15 @@ def _pallas_split_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
     batch.  Each slice passes its global row index as b_offset, so the
     counter PRNG produces the same streams as one oversized kernel call
     would — splitting is invisible in the output.  The final short slice
-    is padded up to sub_B (one kernel shape instead of two compiles)."""
+    is padded up to sub_B (one kernel shape instead of two compiles).
+
+    Slices on the common single-call path dispatch asynchronously and are
+    fetched only after every slice has been enqueued, so one slice's D2H
+    transfer never serializes against the next slice's compute."""
     B = h.shape[0]
-    rows: List[np.ndarray] = []
+    up = cfg.upsampling_factor
+    chunk_steps = DECODE_CHUNK_FRAMES * up
+    pending = []  # (is_device, out, s0, s1, slice_steps)
     for s0 in range(0, B, sub_B):
         s1 = min(s0 + sub_B, B)
         xs, hs, ds = x_seed[s0:s1], h[s0:s1], d_gen[s0:s1]
@@ -569,10 +575,32 @@ def _pallas_split_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
             hs = np.concatenate([hs, np.repeat(hs[-1:], pad, 0)], 0)
             ds = np.concatenate([ds, np.repeat(ds[-1:], pad, 0)], 0)
         slice_steps = int(max(n_samples_list[s0:s1]))
-        out = _pallas_path(params, cfg, xs, hs, ds[:, :slice_steps],
-                           slice_steps, maxd, seed, mode, interpret,
-                           quantize, const_seed=const_seed, b_offset=s0)
-        rows.extend(out[j] for j in range(s1 - s0))
+        h_pad, d_frames, n_pad_steps = _pallas_host_prep(
+            cfg, hs, ds[:, :slice_steps], slice_steps)
+        if n_pad_steps <= chunk_steps:
+            out = _pallas_device_path(
+                params, cfg, jnp.asarray(xs, jnp.int32),
+                jnp.asarray(h_pad), jnp.asarray(d_frames),
+                jnp.asarray(seed, jnp.int32), jnp.asarray(s0, jnp.int32),
+                maxd=maxd, n_steps=n_pad_steps, mode=mode,
+                interpret=interpret, quantize=quantize,
+                const_seed=const_seed)
+            pending.append((True, out, s0, s1, slice_steps))
+        else:
+            # long utterances run the chunked engine (fetches internally;
+            # rare in oversized batches, which are throughput workloads)
+            res = _pallas_path(params, cfg, xs, hs, ds[:, :slice_steps],
+                               slice_steps, maxd, seed, mode, interpret,
+                               quantize, const_seed=const_seed, b_offset=s0)
+            pending.append((False, res, s0, s1, slice_steps))
+    rows: List[np.ndarray] = []
+    for is_device, out, s0, s1, slice_steps in pending:
+        if is_device:
+            arr = np.asarray(jax.device_get(out)).astype(np.int32)[:, 0, :]
+            arr = np.moveaxis(arr, 0, 1)[:, :slice_steps]
+        else:
+            arr = out
+        rows.extend(arr[j] for j in range(s1 - s0))
     return rows
 
 
