@@ -24,6 +24,45 @@ import numpy as np
 from qpnet_tpu.dsp.world.common import next_pow2, nuttall
 
 
+def _smooth_even_length(n: int) -> int:
+    """Smallest even 5-smooth (2^a 3^b 5^c) integer >= n — pocketfft is
+    O(n log n) only for smooth lengths."""
+    m = n + (n & 1)
+    while True:
+        k = m
+        for p in (2, 3, 5):
+            while k % p == 0:
+                k //= p
+        if k == 1:
+            return m
+        m += 2
+
+
+def decimate_for_f0(x: np.ndarray, fs: int, f0_ceil: float,
+                    oversample: float = 10.0) -> Tuple[np.ndarray, float]:
+    """FFT brick-wall decimation of `x` to ~oversample*f0_ceil Hz.
+
+    Every candidate band low-passes below ~2*f0_ceil, so event detection
+    only needs a few samples per period of the highest candidate; WORLD's
+    own harvest runs candidate estimation on an 8 kHz decimation of the
+    input (harvest.cc GetRawF0Candidates) for the default 800 Hz ceiling.
+    Returns (x_decimated, fs_decimated); a no-op when fs is already low.
+    """
+    target = oversample * f0_ceil
+    if target >= fs:
+        return x, float(fs)
+    n = len(x)
+    fftl = next_pow2(n)
+    m = _smooth_even_length(int(np.ceil(fftl * target / fs)))
+    if m >= fftl:
+        return x, float(fs)
+    fs_d = fs * m / fftl
+    X = np.fft.rfft(x, fftl)
+    xd = np.fft.irfft(X[: m // 2 + 1], m) * (m / fftl)
+    n_d = int(n * m / fftl)
+    return xd[:n_d], fs_d
+
+
 def _low_cut_fft(x: np.ndarray, fs: int, cutoff: float = 50.0) -> np.ndarray:
     n = len(x)
     fftl = next_pow2(n)
@@ -42,7 +81,7 @@ class _SpectrumCache:
     The cache uses a single padded length covering the longest filter.
     """
 
-    def __init__(self, x: np.ndarray, fs: int, min_boundary_f0: float):
+    def __init__(self, x: np.ndarray, fs: float, min_boundary_f0: float):
         max_filter_half = int(round(fs / min_boundary_f0 / 2.0))
         self.n = len(x)
         self.fftl = next_pow2(self.n + 2 * max_filter_half + 1)
@@ -71,10 +110,31 @@ class _SpectrumCache:
 
     def band_lowpass_many(self, boundary_f0s) -> np.ndarray:
         """(n_ch, n) band-filtered copies via ONE batched inverse FFT —
-        the per-channel irfft was the dominant cost of dio/harvest."""
-        H = np.stack([self._response(b) for b in boundary_f0s])
-        return np.fft.irfft(self.X[None, :] * H, self.fftl,
+        the per-channel irfft was the dominant cost of dio/harvest.
+
+        Runs in float32: the bands only locate zero-crossing/peak events
+        whose times are refined later against the full-rate float64 signal
+        (refine.py), so single precision costs nothing downstream and
+        halves the dominant irfft."""
+        H = self._responses_batched(boundary_f0s).astype(np.float32)
+        X32 = self.X.astype(np.complex64)
+        return np.fft.irfft(X32[None, :] * H, self.fftl,
                             axis=-1)[:, : self.n]
+
+    def _responses_batched(self, boundary_f0s) -> np.ndarray:
+        """(n_ch, fftl//2+1) exact zero-phase responses via ONE batched
+        filter FFT at the signal grid (the per-channel coarse-grid rfft +
+        interp of _response dominated once the signal itself was
+        decimated)."""
+        kernels = np.zeros((len(boundary_f0s), self.fftl))
+        for c, boundary_f0 in enumerate(boundary_f0s):
+            half = int(round(self.fs / boundary_f0 / 2.0))
+            w = nuttall(half * 2 + 1)
+            t = np.arange(-half, half + 1)
+            lpf = np.sinc(2 * boundary_f0 * t / self.fs) * w
+            lpf /= lpf.sum()
+            kernels[c, t % self.fftl] = lpf       # centered at sample 0
+        return np.fft.rfft(kernels, axis=-1).real
 
 
 def _band_lowpass(x: np.ndarray, fs: int, boundary_f0: float) -> np.ndarray:
@@ -82,7 +142,7 @@ def _band_lowpass(x: np.ndarray, fs: int, boundary_f0: float) -> np.ndarray:
     return _SpectrumCache(x, fs, boundary_f0).band_lowpass(boundary_f0)
 
 
-def _event_times(sig: np.ndarray, fs: int, kind: str) -> np.ndarray:
+def _event_times(sig: np.ndarray, fs: float, kind: str) -> np.ndarray:
     """Times (s) of zero-crossing events ("negzc"/"poszc").  Peak/dip
     events are derived by the callers from the derivative signal with a
     +0.5-sample offset (the derivative lives between samples)."""
@@ -115,7 +175,7 @@ def _interval_f0_track(times: np.ndarray, frame_times: np.ndarray
     return out
 
 
-def _band_candidate(x_band: np.ndarray, fs: int, boundary_f0: float,
+def _band_candidate(x_band: np.ndarray, fs: float, boundary_f0: float,
                     f0_floor: float, f0_ceil: float,
                     frame_times: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """One band's (candidate_f0, reliability) per frame."""
@@ -248,11 +308,12 @@ def dio(x: np.ndarray, fs: int, f0_floor: float = 71.0,
                                        / channels_in_octave))
     cands = np.zeros((n_bands, n_frames))
     rels = np.full((n_bands, n_frames), np.inf)
-    cache = _SpectrumCache(xlc, fs, float(boundary_f0s[0]))
+    xd, fs_d = decimate_for_f0(xlc, fs, f0_ceil)
+    cache = _SpectrumCache(xd, fs_d, float(boundary_f0s[0]))
     xbs = cache.band_lowpass_many(boundary_f0s)   # one batched inverse FFT
     for b, bf0 in enumerate(boundary_f0s):
         cands[b], rels[b] = _band_candidate(
-            xbs[b], fs, bf0, f0_floor, f0_ceil, time_axis)
+            xbs[b], fs_d, bf0, f0_floor, f0_ceil, time_axis)
 
     # best band per frame: minimal normalized reliability
     score = rels / np.maximum(cands, 1e-9)

@@ -27,6 +27,7 @@ import numpy as np
 
 from qpnet_tpu.dsp.world.dio import (
     _SpectrumCache, _event_times, _interval_f0_track, _low_cut_fft,
+    decimate_for_f0,
 )
 from qpnet_tpu.dsp.world.refine import refine_many
 
@@ -83,30 +84,35 @@ def harvest(x: np.ndarray, fs: int, f0_floor: float = 71.0,
                                     / channels_in_octave)
     cands = np.zeros((n_ch, n_frames))
     spreads = np.full((n_ch, n_frames), np.inf)
-    cache = _SpectrumCache(xlc, fs, float(boundaries[0]))
+    xd, fs_d = decimate_for_f0(xlc, fs, f0_ceil)
+    cache = _SpectrumCache(xd, fs_d, float(boundaries[0]))
     xbs = cache.band_lowpass_many(boundaries)   # one batched inverse FFT
     for c, bf in enumerate(boundaries):
         cands[c], spreads[c] = _channel_candidates(
-            xbs[c], fs, bf, f0_floor, f0_ceil, time_axis)
+            xbs[c], fs_d, bf, f0_floor, f0_ceil, time_axis)
 
-    # pool per-frame candidates: best-agreeing channels, deduped by ~5%
+    # pool per-frame candidates: best-agreeing channels, deduped by ~5%.
+    # Vectorized across frames: walk channels in per-frame agreement order
+    # (n_ch small iterations of (F, max_candidates) ops instead of a
+    # Python loop over every frame).
+    order = np.argsort(spreads, axis=0)              # (n_ch, F)
+    sp_sorted = np.take_along_axis(spreads, order, axis=0)
+    f_sorted = np.take_along_axis(cands, order, axis=0)
     pooled = np.zeros((n_frames, max_candidates))
-    for t in range(n_frames):
-        order = np.argsort(spreads[:, t])
-        chosen = []
-        for c in order:
-            if spreads[c, t] > agreement_threshold:
-                break
-            f = cands[c, t]
-            if f <= 0:
-                continue
-            if any(abs(f - g) / g < 0.05 for g in chosen):
-                continue
-            chosen.append(f)
-            if len(chosen) == max_candidates:
-                break
-        for k, f in enumerate(chosen):
-            pooled[t, k] = f
+    n_chosen = np.zeros(n_frames, np.int64)
+    frames = np.arange(n_frames)
+    for r in range(n_ch):
+        f = f_sorted[r]                              # (F,)
+        ok = (sp_sorted[r] <= agreement_threshold) & (f > 0)
+        # dedupe: skip candidates within 5% of one already chosen
+        dup = np.any(
+            np.abs(f[:, None] - pooled) < 0.05 * np.maximum(pooled, 1e-9),
+            axis=1)
+        take = ok & ~dup & (n_chosen < max_candidates)
+        if not take.any():
+            continue
+        pooled[frames[take], n_chosen[take]] = f[take]
+        n_chosen[take] += 1
 
     # instantaneous-frequency refinement + stability score (batched)
     tq, kq = np.nonzero(pooled > 0)
@@ -124,34 +130,23 @@ def harvest(x: np.ndarray, fs: int, f0_floor: float = 71.0,
     INF = 1e30
     cost = np.full((n_frames, S), INF)
     back = np.zeros((n_frames, S), np.int32)
-    cost[0, 0] = unvoiced_cost
-    for k in range(max_candidates):
-        if refined[0, k] > 0:
-            cost[0, k + 1] = 1.0 - score[0, k]
+    # emission costs for all frames at once: state 0 = unvoiced
+    emits = np.full((n_frames, S), INF)
+    emits[:, 0] = unvoiced_cost
+    valid = refined > 0
+    emits[:, 1:][valid] = 1.0 - score[valid]
+    cost[0] = emits[0]
+    logf = np.log(np.maximum(refined, 1e-9))          # (F, K)
+    srange = np.arange(S)
     for t in range(1, n_frames):
-        emit = np.full(S, INF)
-        emit[0] = unvoiced_cost
-        for k in range(max_candidates):
-            if refined[t, k] > 0:
-                emit[k + 1] = 1.0 - score[t, k]
-        for s in range(S):
-            if emit[s] >= INF:
-                continue
-            best, best_p = INF, 0
-            for p in range(S):
-                if cost[t - 1, p] >= INF:
-                    continue
-                trans = 0.0
-                if s > 0 and p > 0:
-                    fa, fb = refined[t, s - 1], refined[t - 1, p - 1]
-                    trans = transition_cost * abs(np.log(fa / fb))
-                elif (s == 0) != (p == 0):
-                    trans = unvoiced_cost    # voicing switch penalty
-                c = cost[t - 1, p] + trans
-                if c < best:
-                    best, best_p = c, p
-            cost[t, s] = best + emit[s]
-            back[t, s] = best_p
+        trans = np.full((S, S), unvoiced_cost)        # voicing switches
+        trans[0, 0] = 0.0
+        trans[1:, 1:] = transition_cost * np.abs(
+            logf[t][:, None] - logf[t - 1][None, :])
+        tot = cost[t - 1][None, :] + trans            # (s, p)
+        bp = np.argmin(tot, axis=1)
+        back[t] = bp
+        cost[t] = tot[srange, bp] + emits[t]
     # backtrack
     f0 = np.zeros(n_frames)
     s = int(np.argmin(cost[-1]))

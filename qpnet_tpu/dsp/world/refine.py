@@ -61,10 +61,14 @@ def _refine_batch(x: np.ndarray, fs: int, times: np.ndarray,
                  0.42 + 0.5 * np.cos(np.pi * tt)
                  + 0.08 * np.cos(2 * np.pi * tt), 0.0)
 
-    X1 = np.fft.rfft(seg * w, fftl, axis=1)
+    # float32 transforms: the IF comes from the phase advance over one
+    # sample; complex64 phase noise (~1e-6 rad) maps to <0.01 Hz of F0,
+    # far inside the estimator's own tolerance, and halves the dominant
+    # batched FFT cost.
+    X1 = np.fft.rfft((seg * w).astype(np.float32), fftl, axis=1)
     seg_shift = np.roll(seg, -1, axis=1)
     seg_shift[:, -1] = 0.0
-    X2 = np.fft.rfft(seg_shift * w, fftl, axis=1)
+    X2 = np.fft.rfft((seg_shift * w).astype(np.float32), fftl, axis=1)
 
     # gather the 6 harmonic bins per query FIRST, then do the (expensive)
     # phase math on N*6 values instead of the full N x fftl/2 spectra

@@ -58,6 +58,36 @@ def test_make_corpus_lists(tmp_path):
     assert conf["SPKA"]["f0_min"] == 40
 
 
+def test_vcc18_asset_inventory(tmp_path):
+    """--vcc18_assets regenerates the reference's static VCC2018 corpus
+    assets (corpus/VCC2018/{scp,conf}): 43 lists with the documented
+    ranges plus the curated per-speaker analysis conf."""
+    from qpnet_tpu.bin import make_corpus_lists
+    corpus = tmp_path / "VCC2018"
+    make_corpus_lists.main(["--corpus_dir", str(corpus), "--vcc18_assets"])
+    scp = corpus / "scp"
+    names = sorted(p.name for p in scp.iterdir())
+    assert len(names) == 43       # 12 tr + 8 va + 8 up + 8 eval + 4 ref
+    assert len(read_txt(str(scp / "vcc18tr.scp"))) == 12 * 81
+    tr1 = read_txt(str(scp / "vcc18tr_VCC2SF1.scp"))
+    assert tr1[0] == "rootpath/wav/vcc2018_training/VCC2SF1/10001.wav"
+    assert tr1[-1] == "rootpath/wav/vcc2018_training/VCC2SF1/10081.wav"
+    tr3 = read_txt(str(scp / "vcc18tr_VCC2SF3.scp"))
+    assert tr3[0] == "rootpath/wav/vcc2018_training/VCC2SF3/20001.wav"
+    va = read_txt(str(scp / "vcc18va_VCC2TM1.scp"))
+    up = read_txt(str(scp / "vcc18up_VCC2TM1.scp"))
+    assert len(va) == 10 and va[-1].endswith("/10010.wav")
+    assert len(up) == 71 and up[0].endswith("/10011.wav")
+    ev = read_txt(str(scp / "vcc18eval_VCC2SM4.scp"))
+    assert len(ev) == 35 and ev[0].endswith("vcc2018_evaluation/VCC2SM4/30001.wav")
+    rf = read_txt(str(scp / "vcc18ref.scp"))
+    assert len(rf) == 4 * 35 and rf[0].startswith("rootpath/wav/vcc2018_reference/VCC2TF1/")
+    with open(corpus / "conf" / "pow_f0_dict.yml") as f:
+        conf = yaml.safe_load(f)
+    assert len(conf) == 12
+    assert conf["VCC2TM1"] == {"f0_min": 60, "f0_max": 200, "pow_th": -23}
+
+
 def test_initialize_speaker(tmp_path):
     from qpnet_tpu.bin import initialize_speaker
     wavs = _make_wavs(str(tmp_path), n=2)
