@@ -51,6 +51,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from qpnet_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     from qpnet_tpu.config import ModelConfig
     from qpnet_tpu.models import init_params
     from qpnet_tpu.models.generate import batch_fast_generate

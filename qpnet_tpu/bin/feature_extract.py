@@ -23,7 +23,9 @@ from qpnet_tpu.dsp import (
 )
 from qpnet_tpu.dsp.world import WorldAnalyzer, WorldSynthesizer, decode_aperiodicity
 from qpnet_tpu.ops import extend_time
-from qpnet_tpu.utils import multi_processing, set_loglevel
+from qpnet_tpu.utils import (
+    enable_compile_cache, multi_processing, set_loglevel,
+)
 
 
 def strtobool(v: str) -> bool:
@@ -203,6 +205,8 @@ def wavpath_create(wav_list, feature_format):
 def main(argv=None):
     args = get_arguments(argv)
     set_loglevel(args.verbose)
+    if args.dsp_backend == "jax":
+        enable_compile_cache()
     for key, value in vars(args).items():
         logging.info("%s = %s", key, str(value))
     if os.path.isdir(args.waveforms):

@@ -24,7 +24,7 @@ from qpnet_tpu.config import RunConfig
 from qpnet_tpu.data import find_files, read_hdf5, read_txt, shape_hdf5
 from qpnet_tpu.data.stats import load_scaler
 from qpnet_tpu.ops import decode_mu_law, dilated_factor, encode_mu_law
-from qpnet_tpu.utils import set_loglevel
+from qpnet_tpu.utils import enable_compile_cache, set_loglevel
 
 
 def strtobool(v: str) -> bool:
@@ -108,6 +108,7 @@ def decode_batches(feat_list, run_cfg, args, scaler):
 def main(argv=None):
     args = get_arguments(argv)
     set_loglevel(args.verbose)
+    enable_compile_cache()
     for key, value in vars(args).items():
         logging.info("%s = %s", key, str(value))
     # the reference contract is a path template whose *filename* contains

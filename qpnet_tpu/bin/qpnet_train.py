@@ -10,7 +10,7 @@ import sys
 
 from qpnet_tpu.config import ModelConfig, RunConfig, TrainConfig
 from qpnet_tpu.data import find_files, read_txt
-from qpnet_tpu.utils import set_loglevel
+from qpnet_tpu.utils import enable_compile_cache, set_loglevel
 
 
 def get_arguments(argv=None):
@@ -112,6 +112,7 @@ def resolve_lists(args):
 def main(argv=None):
     args = get_arguments(argv)
     set_loglevel(args.verbose)
+    enable_compile_cache()
     for key, value in vars(args).items():
         logging.info("%s = %s", key, str(value))
     os.makedirs(args.expdir, exist_ok=True)

@@ -12,7 +12,7 @@ import logging
 import os
 
 from qpnet_tpu.config import RunConfig, TrainConfig
-from qpnet_tpu.utils import set_loglevel
+from qpnet_tpu.utils import enable_compile_cache, set_loglevel
 
 
 def get_arguments(argv=None):
@@ -48,6 +48,7 @@ def get_arguments(argv=None):
 def main(argv=None):
     args = get_arguments(argv)
     set_loglevel(args.verbose)
+    enable_compile_cache()
     for key, value in vars(args).items():
         logging.info("%s = %s", key, str(value))
     os.makedirs(args.expdir, exist_ok=True)

@@ -19,7 +19,7 @@ from qpnet_tpu.data.batcher import train_window_generator
 from qpnet_tpu.data.stats import load_scaler
 from qpnet_tpu.train import make_eval_step
 from qpnet_tpu.train.checkpoint import load_checkpoint
-from qpnet_tpu.utils import set_loglevel
+from qpnet_tpu.utils import enable_compile_cache, set_loglevel
 
 
 def get_arguments(argv=None):
@@ -43,6 +43,7 @@ def get_arguments(argv=None):
 def main(argv=None):
     args = get_arguments(argv)
     set_loglevel(args.verbose)
+    enable_compile_cache()
     for key, value in vars(args).items():
         logging.info("%s = %s", key, str(value))
 
