@@ -131,6 +131,27 @@ def test_choose_pallas_sub_batch():
     assert choose_pallas_sub_batch(cfg, 4, maxd=4) == 4
 
 
+def test_choose_pallas_sub_batch_balanced(monkeypatch):
+    """Oversized batches split into balanced slices capped at the
+    throughput-optimal kernel batch, not the largest VMEM-filling size
+    (2x120 padded slots ran at half the rate of 2x64 on hardware)."""
+    from qpnet_tpu.models import generate
+    from qpnet_tpu.ops import gen_kernel
+    cfg = tiny_cfg()
+    # pretend slices up to 120 fit but 128 does not
+    monkeypatch.setattr(gen_kernel, "vmem_cost_bytes",
+                        lambda cfg, B, maxd, q="none": B)
+    monkeypatch.setattr(gen_kernel, "VMEM_LIMIT", 121)
+    assert generate.choose_pallas_sub_batch(cfg, 128, maxd=4) == 64
+    assert generate.choose_pallas_sub_batch(cfg, 136, maxd=4) == 48
+    assert generate.choose_pallas_sub_batch(cfg, 200, maxd=4) == 56
+    # B that fits outright is untouched
+    assert generate.choose_pallas_sub_batch(cfg, 120, maxd=4) == 120
+    # small VMEM: cap comes from the budget, still balanced
+    monkeypatch.setattr(gen_kernel, "VMEM_LIMIT", 25)
+    assert generate.choose_pallas_sub_batch(cfg, 50, maxd=4) == 24
+
+
 def test_choose_pallas_sub_batch_small_batches(monkeypatch):
     """When no multiple of 8 fits (or B <= 8), the chooser must still find
     the largest fitting size instead of collapsing to per-utterance calls."""
