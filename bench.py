@@ -5,8 +5,9 @@ Prints ONE JSON line:
 
 The headline number is aggregate mu-law samples generated per second per
 chip for the flagship (default, ~24M-param) QPNet at the throughput-
-optimal batch of 64 (use --batch 20 for the reference's own decode batch,
-runQP.py:66 — also above target).  `vs_baseline` is measured against
+optimal batch of 128 (runs as two async-dispatched 64-utterance pallas
+slices; use --batch 20 for the reference's own decode batch, runQP.py:66
+— also above target).  `vs_baseline` is measured against
 the BASELINE.md north-star target of 50x real-time at 22.05 kHz per chip
 (22050*50 = 1,102,500 samples/s), i.e. vs_baseline > 1.0 beats the target.
 
@@ -24,9 +25,10 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64,
-                    help="decode batch (64 = throughput-optimal on v5e; "
-                         "the reference's own default is 20, runQP.py:66)")
+    ap.add_argument("--batch", type=int, default=128,
+                    help="decode batch (128 = throughput-optimal on v5e, "
+                         "auto-split into two 64-slot kernel slices; the "
+                         "reference's own default is 20, runQP.py:66)")
     ap.add_argument("--seconds", type=float, default=2.0,
                     help="audio seconds per utterance")
     ap.add_argument("--quick", action="store_true",
