@@ -40,7 +40,12 @@ def get_arguments(argv=None):
                         help="output path template containing feat_id")
     parser.add_argument("--checkpoint", required=True, type=str)
     parser.add_argument("--fs", default=22050, type=int)
-    parser.add_argument("--batch_size", default=1, type=int)
+    parser.add_argument("--batch_size", default=1, type=int,
+                        help="utterances per engine call (reference "
+                             "default 20, runQP.py:66); 0 = hand the whole "
+                             "sorted set to the engine, which slices it "
+                             "into length-homogeneous, throughput-optimal "
+                             "kernel batches (fastest)")
     parser.add_argument("--extra_memory", default=False, type=strtobool,
                         help="accepted for CLI parity (no effect: the scan "
                              "path is already the fast path)")
@@ -81,7 +86,8 @@ def decode_batches(feat_list, run_cfg, args, scaler):
     shapes = [shape_hdf5(f, "/" + feature_type)[0] for f in feat_list]
     order = np.argsort(shapes)
     feat_list = [feat_list[i] for i in order]
-    n_batch = math.ceil(len(feat_list) / args.batch_size)
+    n_batch = (1 if args.batch_size <= 0
+               else math.ceil(len(feat_list) / args.batch_size))
     for batch_files in np.array_split(feat_list, n_batch):
         batch_h, batch_d, feat_ids, n_samples = [], [], [], []
         for featfile in batch_files:

@@ -537,6 +537,15 @@ def pallas_engine_available(cfg: ModelConfig, B: int, maxd: int,
 PALLAS_OPT_BATCH = 64
 
 
+def balanced_slice(B: int, cap: int = None) -> int:
+    """Balanced slice size for splitting a batch of B into chunks of at
+    most `cap` (default PALLAS_OPT_BATCH), rounded up to a multiple of 8
+    so the compiled kernel-shape set stays small."""
+    cap = cap or PALLAS_OPT_BATCH
+    n_slices = -(-B // cap)
+    return -(-(-(-B // n_slices)) // 8) * 8
+
+
 def choose_pallas_sub_batch(cfg: ModelConfig, B: int, maxd: int,
                             quantize: str = "none") -> int:
     """Slice size for an oversized decode batch: balanced slices no larger
@@ -701,16 +710,22 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
     use_pallas = (engine == "pallas"
                   or (engine == "auto" and pallas_fit and frame_const
                       and quantize != "int8_weights"))
-    # an oversized batch on a real TPU splits into VMEM-fitting pallas
-    # sub-batches (bit-identical via per-slice b_offset) instead of
-    # dropping to the ~3x slower scan engine
+    # a batch beyond the VMEM budget OR the measured throughput-optimal
+    # kernel size splits into balanced pallas slices (bit-identical via
+    # per-slice b_offset; sorted callers make slices length-homogeneous,
+    # so each stops at its own longest utterance) instead of dropping to
+    # the ~3x slower scan engine / a slower oversized kernel
     split_sub = 0
-    if (engine in ("auto", "pallas") and not pallas_fit and platform_ok
+    if (engine in ("auto", "pallas")
+            and (not pallas_fit or B > PALLAS_OPT_BATCH) and platform_ok
             and frame_const and quantize != "int8_weights"
             and mesh is None and not interpret):
-        split_sub = choose_pallas_sub_batch(cfg, B, maxd, quantize)
+        if pallas_fit:
+            split_sub = balanced_slice(B)
+        else:
+            split_sub = choose_pallas_sub_batch(cfg, B, maxd, quantize)
         if split_sub >= B:
-            split_sub = 0  # fits after all — take the single-call path
+            split_sub = 0  # single-call path after all
         if split_sub:
             use_pallas = False
     if quantize == "w8a8" and not use_pallas and not split_sub:
@@ -724,9 +739,12 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
     import logging as _logging
     if split_sub:
         _logging.info(
-            "batch_fast_generate: batch %d exceeds the pallas VMEM budget "
-            "at maxd=%d; splitting into sub-batches of %d (bit-identical "
-            "to one oversized kernel call)", B, maxd, split_sub)
+            "batch_fast_generate: batch %d exceeds the %s at maxd=%d; "
+            "splitting into sub-batches of %d (bit-identical to one "
+            "oversized kernel call)", B,
+            "pallas VMEM budget" if not pallas_fit
+            else f"throughput-optimal kernel batch ({PALLAS_OPT_BATCH})",
+            maxd, split_sub)
     elif engine == "auto" and not use_pallas:
         reasons = []
         if not frame_const:

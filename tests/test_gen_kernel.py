@@ -152,6 +152,18 @@ def test_choose_pallas_sub_batch_balanced(monkeypatch):
     assert generate.choose_pallas_sub_batch(cfg, 50, maxd=4) == 24
 
 
+def test_balanced_slice():
+    """VMEM-fitting batches above the throughput-optimal kernel size also
+    split into balanced slices (sorted callers make them
+    length-homogeneous, so each stops at its own longest utterance)."""
+    from qpnet_tpu.models.generate import balanced_slice
+    assert balanced_slice(128) == 64
+    assert balanced_slice(96) == 48
+    assert balanced_slice(65) == 40
+    assert balanced_slice(130) == 48      # 3 slices of <=48
+    assert balanced_slice(40, cap=16) == 16
+
+
 def test_choose_pallas_sub_batch_small_batches(monkeypatch):
     """When no multiple of 8 fits (or B <= 8), the chooser must still find
     the largest fitting size instead of collapsing to per-utterance calls."""
