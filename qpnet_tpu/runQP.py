@@ -53,7 +53,10 @@ def get_arguments(argv=None):
     p.add_argument("--prj_dir", default=os.environ.get("QPNET_PRJ_DIR", "."))
     p.add_argument("--corpus", default="VCC2018")
     p.add_argument("--n_jobs", type=int, default=N_JOBS)
-    p.add_argument("--decode_batch_size", type=int, default=None)
+    p.add_argument("--decode_batch_size", type=int, default=None,
+                   help="utterances per decode engine call (default: the "
+                        "reference's 20); 0 = whole sorted set, sliced "
+                        "into throughput-optimal kernel batches")
     p.add_argument("--dtype", default="float32",
                    choices=("float32", "bfloat16"),
                    help="training math for steps 1/2: float32 = "
@@ -86,9 +89,12 @@ def main(argv=None):
     if net_name != "default":
         model_version = f"{model_version}_{net_name}"
     net_spec = _NETWORKS[net_name]
+    # 0 is meaningful (whole-set decode with engine-side slicing), so an
+    # explicit None check — not truthiness — selects the recipe default
     decode_batch_size = (args.decode_batch_size
-                         or (DECODE_BATCH_SIZE if net_name == "default"
-                             else net_spec["decode_batch_size"]))
+                         if args.decode_batch_size is not None
+                         else (DECODE_BATCH_SIZE if net_name == "default"
+                               else net_spec["decode_batch_size"]))
     model_iters = args.model_iters
     check_interval, update_interval = 10000, 100
 

@@ -180,3 +180,54 @@ def test_forward_equals_generate_deep_network():
                      jnp.asarray(d_full), h_up=jnp.asarray(h_up_full))
     pred = np.asarray(jnp.argmax(logits, axis=-1))
     np.testing.assert_array_equal(pred[:, rf: rf + n_steps], samples)
+
+
+def test_large_fitting_batch_routes_to_balanced_slices(monkeypatch):
+    """A batch above PALLAS_OPT_BATCH that still fits VMEM must take the
+    split path with balanced slices (2x120 padded slots ran at half the
+    rate of 2x64 on hardware), not a single oversized kernel."""
+    from qpnet_tpu.models import generate as G
+
+    calls = {}
+
+    def fake_split(params, cfg, x_seed, h, d_gen, n_samples_list, maxd,
+                   seed, mode, interpret, quantize, const_seed, sub_B):
+        calls["sub_B"] = sub_B
+        B = h.shape[0]
+        return [np.zeros(n, np.int32) for n in n_samples_list]
+
+    monkeypatch.setattr(G, "_pallas_split_path", fake_split)
+    monkeypatch.setattr(G, "pallas_engine_available",
+                        lambda cfg, B, maxd, quantize="none": True)
+    monkeypatch.setattr(
+        jax, "devices",
+        lambda *a, **k: [type("D", (), {"platform": "tpu"})()])
+
+    cfg = tiny_cfg()
+    B, F = 130, 4
+    up = cfg.upsampling_factor
+    h = np.zeros((B, F, cfg.n_aux), np.float32)
+    d = np.ones((B, F * up), np.float32)
+    x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+    out = G.batch_fast_generate(
+        np.zeros(0), cfg, x0, h, [F * up - 1] * B, d, seed=1)
+    assert calls["sub_B"] == 48          # 3 balanced slices of <=48
+    assert len(out) == B
+
+    # at or below the optimal batch the single-call path stays in charge
+    calls.clear()
+    B2 = G.PALLAS_OPT_BATCH
+
+    def fake_single(params, cfg, x_seed, h, d, n_steps, maxd, seed, mode,
+                    interpret, quantize="none", const_seed=False,
+                    b_offset=0):
+        calls["single"] = True
+        return np.zeros((h.shape[0], n_steps), np.int32)
+
+    monkeypatch.setattr(G, "_pallas_path", fake_single)
+    h2 = np.zeros((B2, F, cfg.n_aux), np.float32)
+    d2 = np.ones((B2, F * up), np.float32)
+    x02 = np.full((B2, 1), cfg.n_quantize // 2, np.int32)
+    G.batch_fast_generate(np.zeros(0), cfg, x02, h2,
+                          [F * up - 1] * B2, d2, seed=1)
+    assert calls == {"single": True}
