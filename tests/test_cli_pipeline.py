@@ -164,6 +164,17 @@ def test_full_pipeline(corpus, tmp_path):
     h0 = read_hdf5(corpus["feats"][0], "/world")
     assert len(xd) == h0.shape[0] * 80 - 1
 
+    # 7b. whole-set decode (--batch_size 0: one engine call, engine-side
+    # slicing) produces the identical waveform for the same seed
+    outdir0 = str(tmp_path / "out0" / "feat_id.wav")
+    qpnet_decode.main([
+        "--feats", corpus["feat_scp"], "--stats", stats,
+        "--config", config, "--outdir", outdir0,
+        "--checkpoint", os.path.join(expdir, "checkpoint-final.pkl"),
+        "--fs", str(FS), "--batch_size", "0", "--verbose", "0"])
+    _, xd0 = wavfile.read(outdir0.replace("feat_id", "utt0"))
+    np.testing.assert_array_equal(xd0, xd)
+
     # 8. noise restoration on the decoded wavs
     writedir = str(tmp_path / "restored" / "feat_id.wav")
     noise_restored.main([
