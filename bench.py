@@ -47,6 +47,8 @@ def main():
                      "XLA weight-only dequant")
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "xla"])
+    ap.add_argument("--network", default="default",
+                    help="named network (default | Rd10Rr3Ed4Er1)")
     args = ap.parse_args()
     if args.quick:
         args.seconds = 0.5
@@ -59,7 +61,7 @@ def main():
     from qpnet_tpu.models import init_params
     from qpnet_tpu.models.generate import batch_fast_generate
 
-    cfg = ModelConfig.from_network_name("default")
+    cfg = ModelConfig.from_network_name(args.network)
     params = init_params(jax.random.PRNGKey(0), cfg)
     up = cfg.upsampling_factor
     B = args.batch

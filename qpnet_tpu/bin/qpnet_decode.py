@@ -58,6 +58,13 @@ def get_arguments(argv=None):
                              "devices (dp mesh); 1 = single chip")
     parser.add_argument("--engine", default="auto",
                         choices=["auto", "pallas", "xla"])
+    parser.add_argument("--quantize", default="none",
+                        choices=["none", "w8a8", "int8_weights"],
+                        help="w8a8: pallas int8 weights+activations — "
+                             "halves resident VMEM, which lets the deep "
+                             "Rd10Rr3Ed4Er1 network use the fast kernel "
+                             "(2.2x its scan-engine rate); int8_weights: "
+                             "XLA-engine weight-only dequant")
     parser.add_argument("--verbose", default=1, type=int)
     parser.add_argument("--f0_factor", default=1.0, type=float)
     parser.add_argument("--f0_dim_index", default=1, type=int)
@@ -169,7 +176,8 @@ def main(argv=None):
         logging.info("decoding start! (batch of %d)", len(feat_ids))
         samples_list = batch_fast_generate(
             params, cfg, x, h, n_samples, d,
-            seed=args.seed, mode=args.mode, engine=args.engine, mesh=mesh)
+            seed=args.seed, mode=args.mode, engine=args.engine,
+            quantize=args.quantize, mesh=mesh)
         for feat_id, samples in zip(feat_ids, samples_list):
             wav = decode_mu_law(samples, cfg.n_quantize)
             wav_filename = wav_path(feat_id)

@@ -121,11 +121,16 @@ def vmem_cost_bytes(cfg: ModelConfig, B: int, maxd: int,
     R, S, Q = cfg.n_resch, cfg.n_skipch, cfg.n_quantize
     L = len(cfg.dilationsF) + len(cfg.dilationsA)
     wbytes = 1 if quantize == "w8a8" else 2
+    # W_aux and the aux projections are f32 resident (4 bytes)
     weights = wbytes * (L * (2 * R) * (2 * R) + L * R * (S + R)) \
-        + 2 * (L * AUX_PAD * 2 * R + 2 * Q * R + 2 * S * S)
-    bufF = 2 * sum(cfg.dilationsF) * B * R
-    bufA = 2 * (maxd * sum(cfg.dilationsA) + len(cfg.dilationsA)) * B * R
-    aux_cache = 4 * L * B * 2 * R
+        + 4 * L * AUX_PAD * 2 * R + 2 * (2 * Q * R + 2 * S * S)
+    # ring scratch is tiled (8, 128) on the (B, R) minor dims: the batch
+    # dimension pads to a multiple of 8 sublanes (a B=5 deep-net kernel
+    # allocates its (3069, 8, 512) rings, not (3069, 5, 512))
+    B8 = -(-B // 8) * 8
+    bufF = 2 * sum(cfg.dilationsF) * B8 * R
+    bufA = 2 * (maxd * sum(cfg.dilationsA) + len(cfg.dilationsA)) * B8 * R
+    aux_cache = 4 * L * B8 * 2 * R
     return weights + bufF + bufA + aux_cache + (1 << 23)
 
 
