@@ -53,6 +53,11 @@ def get_arguments(argv=None):
     p.add_argument("--prj_dir", default=os.environ.get("QPNET_PRJ_DIR", "."))
     p.add_argument("--corpus", default="VCC2018")
     p.add_argument("--n_jobs", type=int, default=N_JOBS)
+    p.add_argument("--decode_quantize", default="none",
+                   choices=("none", "w8a8", "int8_weights"),
+                   help="decode numerics: w8a8 fits the deep "
+                        "Rd10Rr3Ed4Er1 network into the fast VMEM kernel "
+                        "(validated quality-neutral after noise restore)")
     p.add_argument("--decode_batch_size", type=int, default=None,
                    help="utterances per decode engine call (default: the "
                         "reference's 20); 0 = whole sorted set, sliced "
@@ -237,7 +242,8 @@ def main(argv=None):
                     "--batch_size", str(decode_batch_size),
                     "--seed", str(DECODE_SEED),
                     "--f0_factor", str(f0_factor),
-                    "--f0_dim_index", str(feat_param.f0_dim_idx)])
+                    "--f0_dim_index", str(feat_param.f0_dim_idx),
+                    "--quantize", args.decode_quantize])
         if steps[4]:
             path_check([os.path.dirname(outdir_eval)])
             writedir = outdir_eval.replace(wav_mode, restored_mode)
