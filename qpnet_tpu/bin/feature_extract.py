@@ -71,69 +71,90 @@ def get_arguments(argv=None):
     return parser.parse_args(argv)
 
 
-def rootdir_replace(filepath, extname=None, newdir=None):
-    filename = os.path.basename(filepath)
-    rootdir = os.path.dirname(filepath)
+def retarget_path(filepath, extname=None, newdir=None):
+    """Move `filepath` into `newdir` (default: keep its directory),
+    optionally swapping the extension for `extname`."""
+    base = os.path.basename(filepath)
     if extname is not None:
-        filename = "%s.%s" % (filename.split(".")[0], extname)
-    if newdir is None:
-        newdir = rootdir
-    return "%s/%s" % (newdir, filename)
+        base = os.path.splitext(base)[0] + "." + extname
+    return os.path.join(newdir if newdir is not None
+                        else os.path.dirname(filepath), base)
 
 
 def _feat_name(wav_name, args):
     if args.feature_dir is None:
         return wav_name.replace("wav", args.feature_format)
-    return rootdir_replace(wav_name, extname=args.feature_format,
-                           newdir=args.feature_dir)
+    return retarget_path(wav_name, extname=args.feature_format,
+                         newdir=args.feature_dir)
+
+
+def _load_wav(wav_name, args):
+    """Read + highpass one utterance, verifying the sampling rate."""
+    fs, x = wavfile.read(wav_name)
+    if fs != args.fs:
+        logging.error("%s: fs=%d Hz but the recipe expects %d Hz",
+                      wav_name, fs, args.fs)
+        sys.exit(1)
+    x = np.asarray(x, dtype=np.float64)
+    if args.highpass_cutoff != 0:
+        x = low_cut_filter(x, fs, cutoff=args.highpass_cutoff)
+    return x
+
+
+def _smoothed_cont_f0(f0, shiftms):
+    """Continuous-F0 track, low-pass smoothed at 20 Hz.  If smoothing
+    ringing drives any frame non-positive, retry with progressively wider
+    cutoffs until the track stays positive (reference escalation policy,
+    feature_extract.py:329-335)."""
+    uv, cont_f0 = convert_continuous_f0(f0)
+    frame_rate = int(1.0 / (shiftms * 0.001))
+    smoothed = low_pass_filter(cont_f0, frame_rate, cutoff=20)
+    cutoff = 70
+    while not (smoothed > 0).all():
+        logging.info("cont-F0 smoothing went non-positive; widening the "
+                     "low-pass cutoff to %d Hz", cutoff)
+        smoothed = low_pass_filter(cont_f0, frame_rate, cutoff=cutoff)
+        cutoff *= 2
+    return uv, smoothed
 
 
 def world_feature_extract(wav_list, args):
-    """Extract `/world` (uv | contF0 | mcep | codeap) + aux datasets
-    (reference feature_extract.py:276-361)."""
+    """Extract `/world` (uv | contF0 | mcep | codeap) + aux datasets.
+
+    Same flag surface and h5 schema as the reference worker (reference
+    feature_extract.py:276-361); the analysis itself runs on this
+    framework's own WORLD/mcep implementations.
+    """
     analyzer = WorldAnalyzer(fs=args.fs, shiftms=args.shiftms,
                              minf0=args.minf0, maxf0=args.maxf0,
                              fftl=args.fftl, f0_analyzer=args.f0_analyzer,
                              backend=getattr(args, "dsp_backend", "numpy"))
+    n = len(wav_list)
     for i, wav_name in enumerate(wav_list):
         feat_name = _feat_name(wav_name, args)
         if check_hdf5(feat_name, "/world") and not args.overwrite:
-            logging.info("skip %s (%d/%d)", wav_name, i + 1, len(wav_list))
+            logging.info("[%d/%d] %s already extracted, skipping",
+                         i + 1, n, wav_name)
             continue
-        logging.info("now processing %s (%d/%d)", wav_name, i + 1,
-                     len(wav_list))
-        fs, x = wavfile.read(wav_name)
-        x = np.array(x, dtype=np.float64)
-        if args.highpass_cutoff != 0:
-            x = low_cut_filter(x, fs, cutoff=args.highpass_cutoff)
-        if fs != args.fs:
-            logging.error("sampling frequency is not matched.")
-            sys.exit(1)
+        logging.info("[%d/%d] extracting %s", i + 1, n, wav_name)
+        x = _load_wav(wav_name, args)
         f0, spc, ap = analyzer.analyze(x)
         codeap = analyzer.codeap()
         mcep = analyzer.mcep(dim=args.mcep_dim, alpha=args.mcep_alpha)
         npow = analyzer.npow()
-        uv, cont_f0 = convert_continuous_f0(f0)
-        lpf_fs = int(1.0 / (args.shiftms * 0.001))
-        cont_f0_lpf = low_pass_filter(cont_f0, lpf_fs, cutoff=20)
-        next_cutoff = 70
-        while not (cont_f0_lpf > [0]).all():
-            logging.info("%s low-pass-filtered [%dHz]", feat_name, next_cutoff)
-            cont_f0_lpf = low_pass_filter(cont_f0, lpf_fs, cutoff=next_cutoff)
-            next_cutoff *= 2
+        uv, cont_f0_lpf = _smoothed_cont_f0(f0, args.shiftms)
         feats = np.concatenate(
             [uv[:, None], cont_f0_lpf[:, None], mcep, codeap], axis=1)
         write_hdf5(feat_name, "/world", feats.astype(np.float32))
-        if args.save_f0:
-            write_hdf5(feat_name, "/f0", f0)
-        if args.save_ap:
-            write_hdf5(feat_name, "/ap", ap)
-        if args.save_spc:
-            write_hdf5(feat_name, "/spc", spc)
-        if args.save_npow:
-            write_hdf5(feat_name, "/npow", npow)
+        optional = {"/f0": (args.save_f0, lambda: f0),
+                    "/ap": (args.save_ap, lambda: ap),
+                    "/spc": (args.save_spc, lambda: spc),
+                    "/npow": (args.save_npow, lambda: npow)}
+        for dataset, (enabled, value) in optional.items():
+            if enabled:
+                write_hdf5(feat_name, dataset, value())
         if args.save_extended:
-            up = int(args.shiftms * fs * 0.001)
+            up = int(args.shiftms * args.fs * 0.001)
             write_hdf5(feat_name, "/world_extend",
                        extend_time(feats, up).astype(np.float32))
         if args.save_vad:
@@ -145,6 +166,7 @@ def world_speech_synthesis(wav_list, args):
     """Analysis-synthesis restore pass (reference feature_extract.py:215-274)."""
     synthesizer = WorldSynthesizer(fs=args.fs, fftl=args.fftl,
                                    shiftms=args.shiftms)
+    n = len(wav_list)
     for i, wav_name in enumerate(wav_list):
         if args.feature_dir is None:
             restored_name = wav_name.replace(
@@ -153,19 +175,19 @@ def world_speech_synthesis(wav_list, args):
                 ".%s" % (args.feature_format + "_restored"), ".wav")
             feat_name = wav_name.replace("wav", args.feature_format)
         else:
-            restored_name = rootdir_replace(
+            restored_name = retarget_path(
                 wav_name, newdir=args.feature_dir + "restored")
-            feat_name = rootdir_replace(wav_name,
-                                        extname=args.feature_format,
-                                        newdir=args.feature_dir)
+            feat_name = retarget_path(wav_name,
+                                      extname=args.feature_format,
+                                      newdir=args.feature_dir)
         if os.path.exists(restored_name) and not args.overwrite:
-            logging.info("skip %s (%d/%d)", restored_name, i + 1,
-                         len(wav_list))
+            logging.info("[%d/%d] %s already synthesized, skipping",
+                         i + 1, n, restored_name)
             continue
-        logging.info("now processing %s (%d/%d)", restored_name, i + 1,
-                     len(wav_list))
+        logging.info("[%d/%d] re-synthesizing %s", i + 1, n, restored_name)
         if not check_hdf5(feat_name, "/world"):
-            logging.error("%s is not existed.", feat_name)
+            logging.error("missing feature file %s (run extraction first)",
+                          feat_name)
             sys.exit(1)
         h = read_hdf5(feat_name, "/world")
         if check_hdf5(feat_name, "/f0"):

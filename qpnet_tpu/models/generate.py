@@ -586,13 +586,27 @@ def _pallas_split_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
     would — splitting is invisible in the output.  The final short slice
     is padded up to sub_B (one kernel shape instead of two compiles).
 
-    Slices on the common single-call path dispatch asynchronously and are
-    fetched only after every slice has been enqueued, so one slice's D2H
-    transfer never serializes against the next slice's compute."""
+    Slices on the common single-call path dispatch asynchronously; fetches
+    trail dispatch by a bounded depth, so one slice's D2H transfer never
+    serializes against the next slice's compute while the resident device
+    output stays O(depth) slices even for whole-corpus (--batch_size 0)
+    decodes."""
     B = h.shape[0]
     up = cfg.upsampling_factor
     chunk_steps = DECODE_CHUNK_FRAMES * up
-    pending = []  # (is_device, out, s0, s1, slice_steps)
+    fetch_depth = 2   # slices in flight before the oldest is downloaded
+    rows: List[np.ndarray] = []
+    pending = []  # (is_device, out, s0, s1, slice_steps), dispatch order
+
+    def fetch_oldest():
+        is_device, out, s0, s1, slice_steps = pending.pop(0)
+        if is_device:
+            arr = np.asarray(jax.device_get(out)).astype(np.int32)[:, 0, :]
+            arr = np.moveaxis(arr, 0, 1)[:, :slice_steps]
+        else:
+            arr = out
+        rows.extend(arr[j] for j in range(s1 - s0))
+
     for s0 in range(0, B, sub_B):
         s1 = min(s0 + sub_B, B)
         xs, hs, ds = x_seed[s0:s1], h[s0:s1], d_gen[s0:s1]
@@ -620,14 +634,10 @@ def _pallas_split_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
                                slice_steps, maxd, seed, mode, interpret,
                                quantize, const_seed=const_seed, b_offset=s0)
             pending.append((False, res, s0, s1, slice_steps))
-    rows: List[np.ndarray] = []
-    for is_device, out, s0, s1, slice_steps in pending:
-        if is_device:
-            arr = np.asarray(jax.device_get(out)).astype(np.int32)[:, 0, :]
-            arr = np.moveaxis(arr, 0, 1)[:, :slice_steps]
-        else:
-            arr = out
-        rows.extend(arr[j] for j in range(s1 - s0))
+        while len(pending) > fetch_depth:
+            fetch_oldest()
+    while pending:
+        fetch_oldest()
     return rows
 
 

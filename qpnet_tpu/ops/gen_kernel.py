@@ -121,9 +121,10 @@ def vmem_cost_bytes(cfg: ModelConfig, B: int, maxd: int,
     R, S, Q = cfg.n_resch, cfg.n_skipch, cfg.n_quantize
     L = len(cfg.dilationsF) + len(cfg.dilationsA)
     wbytes = 1 if quantize == "w8a8" else 2
-    # W_aux and the aux projections are f32 resident (4 bytes)
+    # W_aux is packed bf16 (2 bytes, pack_weights); the per-frame aux
+    # projections it produces are f32 and counted in aux_cache below
     weights = wbytes * (L * (2 * R) * (2 * R) + L * R * (S + R)) \
-        + 4 * L * AUX_PAD * 2 * R + 2 * (2 * Q * R + 2 * S * S)
+        + 2 * L * AUX_PAD * 2 * R + 2 * (2 * Q * R + 2 * S * S)
     # ring scratch is tiled (8, 128) on the (B, R) minor dims: the batch
     # dimension pads to a multiple of 8 sublanes (a B=5 deep-net kernel
     # allocates its (3069, 8, 512) rings, not (3069, 5, 512))

@@ -39,6 +39,8 @@ f0_factor=1.0
 skip_convert=false
 config=
 n_jobs=8
+network=default        # or Rd10Rr3Ed4Er1 for the deep released models
+decode_quantize=none   # w8a8 fits Rd10Rr3Ed4Er1 into the fast kernel
 . recipes/parse_options.sh
 
 [ -n "$eval_wavs" ] && [ -n "$stats" ] && [ -n "$workdir" ] || {
@@ -61,7 +63,8 @@ if [ "$skip_convert" = true ]; then
   conf="$config"
 else
   python -m qpnet_tpu.tools.convert_checkpoint \
-    --checkpoint "$si_checkpoint" --out "$ckpt" --config "$conf"
+    --checkpoint "$si_checkpoint" --out "$ckpt" --config "$conf" \
+    --network "$network"
 fi
 
 # 2. WORLD features of the natural eval wavs
@@ -76,7 +79,8 @@ find "$workdir/h5" -name '*.h5' | sort > "$workdir/eval_feat.scp"
 python -m qpnet_tpu.bin.qpnet_decode \
   --feats "$workdir/eval_feat.scp" --stats "$stats" --config "$conf" \
   --checkpoint "$ckpt" --outdir "$workdir/gen_ns/feat_id.wav" --fs "$fs" \
-  --batch_size 20 --seed 100 --f0_factor "$f0_factor"
+  --batch_size 20 --seed 100 --f0_factor "$f0_factor" \
+  --quantize "$decode_quantize"
 
 # 4. undo the noise-shaping pre-emphasis
 python -m qpnet_tpu.bin.noise_restored \

@@ -215,6 +215,65 @@ def test_converted_forward_matches_oracle_varying_d():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("network", ["default", "Rd10Rr3Ed4Er1"])
+def test_converted_forward_matches_oracle_full_depth(network):
+    """Oracle parity at BOTH registry networks' full layer counts (12+4 and
+    30+4 blocks, dilations to 512) with reduced channel widths — the
+    depth-dependent conversion/index math is what the released-checkpoint
+    run exercises (reference README.md:143-212 networks)."""
+    from qpnet_tpu.config import _NETWORKS
+    spec = _NETWORKS[network]
+    cfg = ModelConfig(n_quantize=16, n_aux=3, n_resch=16, n_skipch=8,
+                      dilationF_depth=spec["dilationF_depth"],
+                      dilationF_repeat=spec["dilationF_repeat"],
+                      dilationA_depth=spec["dilationA_depth"],
+                      dilationA_repeat=spec["dilationA_repeat"],
+                      kernel_size=2, upsampling_factor=4)
+    rng = np.random.default_rng(42)
+    sd = make_state_dict(cfg, rng)
+    params = convert_state_dict(sd, cfg)
+    up = cfg.upsampling_factor
+    maxd = 1
+    rf = sum(cfg.dilationsF) + sum(cfg.dilationsA) * maxd + 1
+    T = -(-(rf + 40) // up) * up
+    F_frames = T // up
+    batch_length = T - rf
+    x = rng.integers(0, cfg.n_quantize, size=T).astype(np.int32)
+    h = rng.normal(size=(F_frames, cfg.n_aux)).astype(np.float32)
+    d = np.full((T,), 1.0, np.float32)
+    oracle = reference_forward_oracle(sd, cfg, x, h, d)
+    import jax.numpy as jnp
+    ours = np.asarray(forward(params, cfg, jnp.asarray(x[None]),
+                              jnp.asarray(h[None]), jnp.asarray(d[None])))
+    # deep nets accumulate more f32 summation error; scale tolerance mildly
+    tol = 3e-4 if network == "default" else 1e-3
+    np.testing.assert_allclose(ours[0, -batch_length:], oracle,
+                               rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("network", ["default", "Rd10Rr3Ed4Er1"])
+def test_convert_full_dims_shapes(network):
+    """Conversion at the EXACT released-model dimensions (R=512, S=256,
+    Q=256, A=39, up=110): the converted tree must be leaf-for-leaf
+    shape-identical to a freshly initialized model of the same network."""
+    import jax
+    from qpnet_tpu.models.qpnet import init_params
+    cfg = ModelConfig.from_network_name(network, n_aux=39,
+                                        upsampling_factor=110)
+    rng = np.random.default_rng(3)
+    sd = make_state_dict(cfg, rng)
+    params = convert_state_dict(sd, cfg)
+    ref = init_params(jax.random.PRNGKey(0), cfg)
+    got = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, params)
+    want = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, ref)
+    assert got == want
+    # spot-check the k-tap mapping at full width: torch k=1 slice is the
+    # current-sample tap of the first fixed block's sigmoid branch
+    np.testing.assert_allclose(
+        np.asarray(params["fixed"][0]["W_cur"][:, : cfg.n_resch]),
+        sd["dilF_sigmoid.0.conv.weight"][:, :, 1].T)
+
+
 def test_cli_converts_torch_checkpoint(tmp_path):
     """End-to-end: a torch-serialized reference-style checkpoint converts
     through the CLI into a loadable params pickle."""

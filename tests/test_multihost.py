@@ -83,11 +83,13 @@ def test_two_process_dcn_training(tmp_path):
     # lead host wrote the checkpoints; the non-lead host did not duplicate
     assert os.path.exists(os.path.join(expdir, "checkpoint-final.pkl"))
     assert os.path.exists(os.path.join(expdir, "checkpoint-2.pkl"))
-    # both hosts ran the same global step: per-iteration losses agree
+    # both hosts ran the same global step: the compiled program is
+    # deterministic across hosts, so per-iteration losses agree EXACTLY
+    # (at the %.6f precision the trainer logs)
     import re
     losses = []
     for out in outs:
         vals = re.findall(r"average loss = ([0-9.]+)", out)
         assert len(vals) == 3, out[-2000:]
         losses.append([float(v) for v in vals])
-    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    assert losses[0] == losses[1]
