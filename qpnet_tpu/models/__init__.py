@@ -1,4 +1,6 @@
 from qpnet_tpu.models.qpnet import (  # noqa: F401
     QPNet, init_params, forward, count_params,
 )
-from qpnet_tpu.models.generate import batch_fast_generate  # noqa: F401
+from qpnet_tpu.models.generate import (  # noqa: F401
+    batch_fast_generate, teacher_forced_logits,
+)

@@ -131,7 +131,8 @@ def _generate_scan(params: Params, cfg: ModelConfig,
                    mode: str = "sampling",
                    compute_dtype=jnp.bfloat16,
                    quantize: str = "none",
-                   const_seed: bool = False) -> jnp.ndarray:
+                   const_seed: bool = False,
+                   forced_x=None) -> jnp.ndarray:
     """Core compiled generation.
 
     Args:
@@ -143,8 +144,12 @@ def _generate_scan(params: Params, cfg: ModelConfig,
          (reference qpnet.py:343-364 pads the upsampled aux with 'replicate').
       d: (B, >= n_steps) float32 sample-rate dilation factors for the
          generated region (position rf+i uses d[:, i]).
+      forced_x: (B, n_steps) int32, required iff mode="forced" — the
+         sample each step emits (teacher forcing) in place of its own
+         sampled/argmax feedback.
     Returns:
-      (B, n_steps) int32 generated mu-law samples.
+      (B, n_steps) int32 generated mu-law samples; in forced mode,
+      (B, n_steps, n_quantize) f32 per-step logits instead.
     """
     R, S = cfg.n_resch, cfg.n_skipch
     dilsF, dilsA = cfg.dilationsF, cfg.dilationsA
@@ -173,7 +178,10 @@ def _generate_scan(params: Params, cfg: ModelConfig,
 
     def step(carry, inp):
         (x_prev, x_cur, bufsF, bufsA, t) = carry
-        h_t, r_t, key_t = inp  # h_t: (B, A); r_t: (B, nA) int32
+        if mode == "forced":
+            h_t, r_t, key_t, f_t = inp
+        else:
+            h_t, r_t, key_t = inp  # h_t: (B, A); r_t: (B, nA) int32
         o = (jnp.take(embed_cur, x_cur, axis=0)
              + jnp.take(embed_prev, x_prev, axis=0) + b_causal)
         skip_sum = jnp.zeros((B, S), jnp.float32)
@@ -218,8 +226,15 @@ def _generate_scan(params: Params, cfg: ModelConfig,
             x_next = jax.random.categorical(key_t, logits, axis=-1).astype(jnp.int32)
         elif mode == "argmax":
             x_next = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        elif mode == "forced":
+            # teacher forcing: feed the given stream back instead of the
+            # model's own sample, and emit the full logits — the strict
+            # per-step equivalence pin (no chaotic AR divergence)
+            x_next = f_t.astype(jnp.int32)
+            return (x_cur, x_next, newF, newA, t + 1), \
+                logits.astype(jnp.float32)
         else:
-            raise ValueError("mode should be sampling or argmax")
+            raise ValueError("mode should be sampling, argmax or forced")
         return (x_cur, x_next, newF, newA, t + 1), x_next
 
     h_steps = jnp.moveaxis(h_up[:, :n_steps], 0, 1)  # (T, B, A)
@@ -231,8 +246,12 @@ def _generate_scan(params: Params, cfg: ModelConfig,
     keys = jax.random.split(key, n_steps)
 
     carry0 = (x_seed[:, -2], x_seed[:, -1], bufsF, bufsA, jnp.int32(rf))
-    _, samples = jax.lax.scan(step, carry0, (h_steps, r_steps, keys))
-    return jnp.moveaxis(samples, 0, 1)  # (B, n_steps)
+    if mode == "forced":
+        xs = (h_steps, r_steps, keys, jnp.moveaxis(forced_x, 0, 1))
+    else:
+        xs = (h_steps, r_steps, keys)
+    _, samples = jax.lax.scan(step, carry0, xs)
+    return jnp.moveaxis(samples, 0, 1)  # (B, n_steps[, Q])
 
 
 def _prime_ring_buffers(params: Params, cfg: ModelConfig,
@@ -291,7 +310,8 @@ def _prime_ring_buffers(params: Params, cfg: ModelConfig,
 
 def _pallas_device_core(params, cfg, x_seed, h_pad, d_frames, seed,
                         b_offset, maxd, n_steps, mode, interpret,
-                        quantize="none", const_seed: bool = False):
+                        quantize="none", const_seed: bool = False,
+                        x_forced=None):
     """Device-side pallas pipeline: weight packing, the priming pass,
     buffer layout, and the mega-kernel.  Pure traced function — jitted
     directly for single-chip, or called per-shard under shard_map."""
@@ -312,8 +332,8 @@ def _pallas_device_core(params, cfg, x_seed, h_pad, d_frames, seed,
         packed, cfg, bufF0, bufA0, x0,
         h_pad.astype(jnp.bfloat16), d_frames, seed,
         B=B, maxd=maxd, n_steps=n_steps, mode=mode, interpret=interpret,
-        quantize=quantize, b_offset=b_offset)[0]
-    if cfg.n_quantize <= 256:
+        quantize=quantize, b_offset=b_offset, x_forced=x_forced)[0]
+    if mode != "forced" and cfg.n_quantize <= 256:
         # mu-law classes fit uint8: quarters the device->host transfer
         # (the tunnel round-trip is a fixed cost of every decode call)
         return out.astype(jnp.uint8)
@@ -348,7 +368,8 @@ def _pallas_prologue(params, cfg, x_seed, h_pad0, maxd, quantize,
                      "quantize", "const_seed"))
 def _pallas_device_path(params, cfg, x_seed, h_pad, d_frames, seed,
                         b_offset, maxd, n_steps, mode, interpret,
-                        quantize="none", const_seed: bool = False):
+                        quantize="none", const_seed: bool = False,
+                        x_forced=None):
     """Single-chip jit of the pallas pipeline.  (Running the prologue
     eagerly costs seconds of per-op dispatch + host round-trips.)
 
@@ -357,7 +378,7 @@ def _pallas_device_path(params, cfg, x_seed, h_pad, d_frames, seed,
     PRNG streams as one oversized call would."""
     return _pallas_device_core(params, cfg, x_seed, h_pad, d_frames, seed,
                                b_offset, maxd, n_steps, mode, interpret,
-                               quantize, const_seed)
+                               quantize, const_seed, x_forced)
 
 
 @functools.partial(
@@ -821,6 +842,72 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
         const_seed=const_seed)
     samples = np.asarray(jax.device_get(samples))
     return [samples[i, : n] for i, n in enumerate(n_samples_list)]
+
+
+def teacher_forced_logits(params: Params, cfg: ModelConfig,
+                          x: np.ndarray, h: np.ndarray,
+                          forced: np.ndarray, d: np.ndarray,
+                          engine: str = "xla",
+                          compute_dtype=jnp.bfloat16,
+                          quantize: str = "none",
+                          interpret: bool = False) -> np.ndarray:
+    """Per-step logits of a generation engine under teacher forcing.
+
+    Runs the SAME per-step machinery as `batch_fast_generate` (ring
+    buffers, priming, the pallas mega-kernel or the XLA scan) but feeds
+    the engine the given `forced` sample stream instead of its own
+    sampled/argmax feedback.  Without the feedback loop there is no
+    chaotic AR divergence, so every step's logits are comparable — to the
+    teacher-forced `models.qpnet.forward`, and between engines — at full
+    tolerance.  This is the strict equivalence pin for engine changes and
+    the cheap hardware smoke test for kernel edits.
+
+    Args:
+      x: (B, T_seed) seed history (same contract as batch_fast_generate).
+      h: (B, F, A) standardized frame-rate aux.
+      forced: (B, n_steps) int32 — the sample "emitted" at each step.
+      d: (B, >= n_steps) sample-rate dilation factors.
+    Returns:
+      (B, n_steps, n_quantize) f32 logits; logits[:, i] is the
+      distribution step i would have sampled sample i (= forced[:, i])
+      from.
+    """
+    B, F, A = h.shape
+    n_steps = int(forced.shape[1])
+    maxd = bucket_maxd(float(np.nanmax(np.ceil(d))) if d.size else 1.0)
+    rf = cfg.receptiveF + cfg.receptiveA * maxd + cfg.receptive_causal
+    n_pad = rf + 1 - x.shape[1]
+    if n_pad > 0:
+        x_seed = np.pad(x, ((0, 0), (n_pad, 0)),
+                        constant_values=cfg.n_quantize // 2)
+    else:
+        x_seed = x[:, -(rf + 1):]
+    d_gen = np.pad(d.astype(np.float32),
+                   ((0, 0), (0, max(0, n_steps - d.shape[1]))),
+                   constant_values=1.0)[:, :n_steps]
+    const_seed = x.shape[1] <= 1
+    if engine == "xla":
+        logits = _generate_scan(
+            params, cfg, jnp.asarray(x_seed, jnp.int32),
+            jnp.asarray(h, jnp.float32), jnp.asarray(d_gen),
+            jax.random.PRNGKey(0), n_steps=n_steps, maxd=maxd,
+            mode="forced", compute_dtype=compute_dtype, quantize=quantize,
+            const_seed=const_seed,
+            forced_x=jnp.asarray(forced, jnp.int32))
+        return np.asarray(jax.device_get(logits))
+    if engine != "pallas":
+        raise ValueError("engine should be 'xla' or 'pallas'")
+    h_pad, d_frames, n_pad_steps = _pallas_host_prep(cfg, h, d_gen, n_steps)
+    xf = np.zeros((n_pad_steps, 1, B), np.int32)
+    xf[:n_steps, 0, :] = np.asarray(forced, np.int32).T
+    out = _pallas_device_path(
+        params, cfg, jnp.asarray(x_seed, jnp.int32), jnp.asarray(h_pad),
+        jnp.asarray(d_frames), jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32), maxd=maxd, n_steps=n_pad_steps,
+        mode="forced", interpret=interpret, quantize=quantize,
+        const_seed=const_seed, x_forced=jnp.asarray(xf))
+    out = np.asarray(jax.device_get(out))[:n_steps]  # (n_steps, B, Q)
+    return np.moveaxis(out, 0, 1)
 
 
 class StreamingGenerator:

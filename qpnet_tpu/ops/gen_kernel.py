@@ -137,8 +137,8 @@ def vmem_cost_bytes(cfg: ModelConfig, B: int, maxd: int,
 
 def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                  interpret: bool = False, quantize: str = "none"):
-    if mode not in ("sampling", "argmax"):
-        raise ValueError("mode should be sampling or argmax")
+    if mode not in ("sampling", "argmax", "forced"):
+        raise ValueError("mode should be sampling, argmax or forced")
     import os
     ablate = os.environ.get("QPNET_KERNEL_ABLATE", "")  # perf triage only
     R, S, Q = cfg.n_resch, cfg.n_skipch, cfg.n_quantize
@@ -180,7 +180,10 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                b_skip_ref, E_cat_ref, b_causal_ref,
                W_post1_ref, W_post2_ref, b_post1_ref, b_post2_ref,
                bufF0_ref, bufA0_ref, x0_ref,  # primed state
-               out_ref,                       # (up, 1, B) uint8 output block
+               xf_ref,                        # (up,1,B) forced samples (forced
+                                              # mode; (1,1,B) dummy otherwise)
+               out_ref,                       # (up,1,B) i32 samples, or
+                                              # (up,B,Q) f32 logits (forced)
                bufF_out_ref, bufA_out_ref, x_out_ref,  # carried state out
                bufF, bufA, x_state, aux_cache, e_prev, pastA_s,
                init_sems):
@@ -321,7 +324,16 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                 cp1.wait()
                 cp2.wait()
 
-            if mode == "sampling":
+            if mode == "forced":
+                # teacher-forced mode: the next input sample comes from the
+                # forced stream instead of the kernel's own feedback, and the
+                # full logits ship out.  This removes the AR feedback loop, so
+                # every step's logits are comparable to the teacher-forced
+                # `models.qpnet.forward` / XLA scan to numerical tolerance
+                # (the strict engine-equivalence pin; free-running
+                # trajectories diverge chaotically at the first bf16 tie).
+                x_next = xf_ref[pl.ds(jax.lax.rem(t, up), 1), 0, :][0]
+            elif mode == "sampling":
                 # Counter-based PRNG: a murmur-style finalizer hash of
                 # (seed, global step, GLOBAL batch index, class).  Unlike the
                 # on-core hardware PRNG, the stream depends only on logical
@@ -352,7 +364,11 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
 
             # output block covers one frame (up samples): the HBM DMA fires per
             # frame, not per sample
-            out_ref[pl.ds(jax.lax.rem(t, up), 1), 0, :] = x_next[None]
+            if mode == "forced":
+                out_ref[pl.ds(jax.lax.rem(t, up), 1), :, :] = \
+                    logits[None].astype(jnp.float32)
+            else:
+                out_ref[pl.ds(jax.lax.rem(t, up), 1), 0, :] = x_next[None]
             x_state[0, :] = x_state[1, :]
             x_state[1, :] = x_next
 
@@ -379,7 +395,8 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
                     interpret: bool = False,
                     quantize: str = "none",
                     step_offset: int = 0,
-                    b_offset=0):
+                    b_offset=0,
+                    x_forced=None):
     """Run the generation kernel.
 
     bufF0: (sum(dilsF), B, R) bf16 primed fixed ring buffers, flat-packed
@@ -393,9 +410,13 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
                  PRNG stream continuous across streamed chunks).
     b_offset: global index of this shard's first utterance (keeps the PRNG
               stream invariant to batch sharding over a mesh).
+    x_forced: (n_steps, 1, B) int32, required iff mode="forced" — the
+              sample stream fed back in place of the kernel's own output.
     Returns (samples (n_steps,1,B) i32, bufF_out, bufA_out, x_out) — the
     carried ring state enables exact chunked continuation when n_steps is
-    a multiple of every ring size and the upsampling factor.
+    a multiple of every ring size and the upsampling factor.  In forced
+    mode the first element is instead the per-step logits
+    (n_steps, B, n_quantize) f32.
     """
     up = cfg.upsampling_factor
     assert n_steps % up == 0, "n_steps must cover whole frames"
@@ -411,6 +432,20 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
     seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
                           jnp.asarray(step_offset, jnp.int32),
                           jnp.asarray(b_offset, jnp.int32)])
+    if mode == "forced":
+        if x_forced is None:
+            raise ValueError("mode='forced' requires x_forced")
+        xf_in = x_forced.astype(jnp.int32)
+        xf_spec = pl.BlockSpec((up, 1, B), lambda g: ((g * U) // up, 0, 0))
+        out0_shape = jax.ShapeDtypeStruct((n_steps, B, cfg.n_quantize),
+                                          jnp.float32)
+        out0_spec = pl.BlockSpec((up, B, cfg.n_quantize),
+                                 lambda g: ((g * U) // up, 0, 0))
+    else:
+        xf_in = jnp.zeros((1, 1, B), jnp.int32)
+        xf_spec = pl.BlockSpec((1, 1, B), lambda g: (0, 0, 0))
+        out0_shape = jax.ShapeDtypeStruct((n_steps, 1, B), jnp.int32)
+        out0_spec = pl.BlockSpec((up, 1, B), lambda g: ((g * U) // up, 0, 0))
     return pl.pallas_call(
         kernel,
         grid=(n_steps // U,),
@@ -427,9 +462,10 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             resident(),
+            xf_spec,
         ],
         out_specs=(
-            pl.BlockSpec((up, 1, B), lambda g: ((g * U) // up, 0, 0)),
+            out0_spec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -444,7 +480,7 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((n_steps, 1, B), jnp.int32),
+            out0_shape,
             jax.ShapeDtypeStruct((sumF, B, R), jnp.bfloat16),
             jax.ShapeDtypeStruct((sumA, B, R), jnp.bfloat16),
             jax.ShapeDtypeStruct((2, B), jnp.int32),
@@ -461,4 +497,4 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
       packed["b_res"], packed["b_skip_sum"],
       packed["E_cat"], packed["b_causal"],
       packed["W_post1"], packed["W_post2"], packed["b_post1"],
-      packed["b_post2"], bufF0, bufA0, x0)
+      packed["b_post2"], bufF0, bufA0, x0, xf_in)
