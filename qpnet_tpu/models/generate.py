@@ -384,16 +384,23 @@ def _pallas_device_path(params, cfg, x_seed, h_pad, d_frames, seed,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "maxd", "n_steps", "mode", "interpret",
-                     "quantize", "const_seed", "mesh"))
+                     "quantize", "const_seed", "mesh", "sub_B"))
 def _pallas_sharded_path(params, cfg, x_seed, h_pad, d_frames, seed,
                          maxd, n_steps, mode, interpret, quantize,
-                         const_seed, mesh):
+                         const_seed, mesh, sub_B=0):
     """Multi-chip pallas decode: the utterance batch shards over the `dp`
     mesh axis, each chip runs the full VMEM-resident kernel on its slice —
     the mesh-native form of the reference's per-GPU process fan-out
     (qpnet_decode.py:322-331) at full per-chip speed.  The counter-based
     sampling PRNG keys off the GLOBAL utterance index, so output is
-    bit-identical to the single-chip engine."""
+    bit-identical to the single-chip engine.
+
+    sub_B > 0 splits each chip's slice into balanced sub-batches run
+    sequentially per chip (the mesh form of _pallas_split_path): a
+    per-chip batch over the VMEM budget or the 64-slot throughput optimum
+    keeps the pallas engine instead of falling back to the ~3x slower
+    scan.  b_offset stays the GLOBAL row index, so splitting is invisible
+    in the output here too."""
     from jax.sharding import PartitionSpec as P
     shard_map = jax.shard_map
 
@@ -401,11 +408,33 @@ def _pallas_sharded_path(params, cfg, x_seed, h_pad, d_frames, seed,
     B = x_seed.shape[0]
     local_B = B // n_dev
 
-    def per_shard(params, x_seed, h_pad, d_frames, seed):
-        b_off = jax.lax.axis_index("dp") * local_B
+    def one_slice(params, x_seed, h_pad, d_frames, seed, b_off):
         return _pallas_device_core(
             params, cfg, x_seed, h_pad, d_frames, seed, b_off,
             maxd, n_steps, mode, interpret, quantize, const_seed)
+
+    def per_shard(params, x_seed, h_pad, d_frames, seed):
+        base = jax.lax.axis_index("dp") * local_B
+        if sub_B <= 0 or sub_B >= local_B:
+            return one_slice(params, x_seed, h_pad, d_frames, seed, base)
+        outs = []
+        for s0 in range(0, local_B, sub_B):
+            s1 = min(s0 + sub_B, local_B)
+            pad = sub_B - (s1 - s0)
+            xs = x_seed[s0:s1]
+            hs = h_pad[:, s0:s1]
+            ds = d_frames[:, :, s0:s1]
+            if pad:
+                # final short slice pads up to sub_B: one kernel shape
+                xs = jnp.concatenate(
+                    [xs, jnp.repeat(xs[-1:], pad, 0)], 0)
+                hs = jnp.concatenate(
+                    [hs, jnp.repeat(hs[:, -1:], pad, 1)], 1)
+                ds = jnp.concatenate(
+                    [ds, jnp.repeat(ds[:, :, -1:], pad, 2)], 2)
+            out = one_slice(params, xs, hs, ds, seed, base + s0)
+            outs.append(out[:, :, : s1 - s0])
+        return jnp.concatenate(outs, axis=2)
 
     return shard_map(
         per_shard, mesh=mesh,
@@ -510,9 +539,12 @@ def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
 def _pallas_mesh_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
                       h: np.ndarray, d: np.ndarray, n_steps: int, maxd: int,
                       seed: int, mode: str, interpret: bool, quantize: str,
-                      const_seed: bool, mesh, n_dev: int) -> np.ndarray:
+                      const_seed: bool, mesh, n_dev: int,
+                      sub_B: int = 0) -> np.ndarray:
     """Sharded pallas decode: pad the batch to a multiple of the mesh size,
-    shard over dp, run the kernel per chip (see _pallas_sharded_path)."""
+    shard over dp, run the kernel per chip (see _pallas_sharded_path);
+    sub_B > 0 additionally splits each chip's slice into balanced
+    sub-batches."""
     from qpnet_tpu.parallel import batch_sharding, replicated_sharding
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -535,7 +567,8 @@ def _pallas_mesh_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
                            NamedSharding(mesh, P(None, None, "dp")))
     out = _pallas_sharded_path(
         params_dev, cfg, x_dev, h_dev, d_dev, jnp.asarray(seed, jnp.int32),
-        maxd, n_pad_steps, mode, interpret, quantize, const_seed, mesh)
+        maxd, n_pad_steps, mode, interpret, quantize, const_seed, mesh,
+        sub_B)
     out = np.asarray(jax.device_get(out)).astype(np.int32)[:, 0, :]
     return np.moveaxis(out, 0, 1)[:B, :n_steps]
 
@@ -759,6 +792,22 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
             split_sub = 0  # single-call path after all
         if split_sub:
             use_pallas = False
+    # under a mesh the same splitting happens PER CHIP inside the shard_map
+    # (sequential balanced sub-batches with global b_offset), so multi-chip
+    # callers never lose the pallas engine to VMEM/64-slot limits either
+    mesh_sub = 0
+    if (mesh is not None and engine in ("auto", "pallas")
+            and frame_const and quantize != "int8_weights"
+            and (platform_ok or interpret)
+            and (not pallas_fit or local_B > PALLAS_OPT_BATCH)):
+        if pallas_fit:
+            mesh_sub = balanced_slice(local_B)
+        else:
+            mesh_sub = choose_pallas_sub_batch(cfg, local_B, maxd, quantize)
+        if mesh_sub >= local_B:
+            mesh_sub = 0
+        if mesh_sub:
+            use_pallas = True
     if quantize == "w8a8" and not use_pallas and not split_sub:
         # the scan engine has no W8A8 scheme; silently decoding in bf16
         # under a quantization flag would misreport the numerics
@@ -768,7 +817,15 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
             "dilation variation) — drop the flag or use 'int8_weights' "
             "with engine='xla'")
     import logging as _logging
-    if split_sub:
+    if mesh_sub:
+        _logging.info(
+            "batch_fast_generate: per-chip batch %d exceeds the %s at "
+            "maxd=%d; each chip runs balanced sub-batches of %d inside the "
+            "shard_map (bit-identical to the single-chip engine)", local_B,
+            "pallas VMEM budget" if not pallas_fit
+            else f"throughput-optimal kernel batch ({PALLAS_OPT_BATCH})",
+            maxd, mesh_sub)
+    elif split_sub:
         _logging.info(
             "batch_fast_generate: batch %d exceeds the %s at maxd=%d; "
             "splitting into sub-batches of %d (bit-identical to one "
@@ -811,7 +868,7 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
         samples = _pallas_mesh_path(
             params, cfg, np.asarray(x_seed, np.int32),
             np.asarray(h, np.float32), d_gen, n_steps, maxd, seed, mode,
-            interpret, quantize, const_seed, mesh, n_dev)
+            interpret, quantize, const_seed, mesh, n_dev, mesh_sub)
         return [samples[i, : n] for i, n in enumerate(n_samples_list)]
     if use_pallas:
         samples = _pallas_path(params, cfg, np.asarray(x_seed, np.int32),

@@ -62,6 +62,49 @@ def test_sharded_pallas_decode_matches_single_chip():
     np.testing.assert_array_equal(np.stack(single), np.stack(sharded))
 
 
+def test_sharded_pallas_per_chip_split_matches_single_chip(monkeypatch):
+    """A per-chip batch above the throughput-optimal kernel size splits
+    into balanced sub-batches INSIDE the shard_map (sequentially per chip)
+    instead of dropping to the scan engine — and stays bit-identical to
+    the unsplit single-chip pallas engine (global b_offset per slice)."""
+    from qpnet_tpu.models import generate as G
+    assert len(jax.devices()) == 8
+    cfg = ModelConfig(n_quantize=32, n_aux=4, n_resch=16, n_skipch=8,
+                      dilationF_depth=2, dilationF_repeat=1,
+                      dilationA_depth=2, dilationA_repeat=1,
+                      upsampling_factor=4)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    B, F = 24, 8
+    n = F * cfg.upsampling_factor - 1
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.repeat(rng.uniform(1.0, 3.0, (B, F)), cfg.upsampling_factor,
+                  axis=1).astype(np.float32)
+    x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+
+    single = batch_fast_generate(params, cfg, x0, h, [n] * B, d, seed=11,
+                                 engine="pallas", interpret=True)
+    # 2 devices x 12 local utterances with an 8-slot optimum: each chip
+    # must run ragged balanced slices (8 + 4-padded-to-8), sequentially
+    monkeypatch.setattr(G, "PALLAS_OPT_BATCH", 8)
+    monkeypatch.setattr(G, "pallas_engine_available",
+                        lambda *a, **k: True)
+    seen = {}
+    real_mesh_path = G._pallas_mesh_path
+
+    def spy_mesh_path(*args, **kw):
+        seen["sub_B"] = args[-1] if not kw else kw.get("sub_B", args[-1])
+        return real_mesh_path(*args, **kw)
+
+    monkeypatch.setattr(G, "_pallas_mesh_path", spy_mesh_path)
+    mesh = make_mesh(2)
+    sharded = batch_fast_generate(params, cfg, x0, h, [n] * B, d, seed=11,
+                                  engine="pallas", interpret=True,
+                                  mesh=mesh)
+    assert seen["sub_B"] == 8, f"expected per-chip split, got {seen}"
+    np.testing.assert_array_equal(np.stack(single), np.stack(sharded))
+
+
 def test_sharded_pallas_pads_ragged_batch():
     """B not divisible by the mesh size: the batch pads internally and the
     padding rows are dropped from the result."""

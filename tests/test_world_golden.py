@@ -227,10 +227,22 @@ class TestSpeechlikeCopySynthesis:
         syn = WorldSynthesizer(fs=fs, fftl=1024, shiftms=5.0)
         y = syn.synthesis(f0, mcep, ap, 0.455)
         n = min(len(x), len(y))
-        m = wav_metrics(x[:n], np.asarray(y[:n], np.float64), fs)
-        # round-2 measurement: 1.15 dB MCD / ~6 Hz F0-RMSE; generous
-        # margins so platform noise doesn't flake, tight enough to catch
-        # real estimator regressions (round-1 proxy D4C scored 1.5+)
-        assert m["mcd_db"] < 1.6, m
-        assert m["f0_rmse_hz"] < 12.0, m
+        # band-matched metric: analyze both signals in the SAME F0 band the
+        # features were extracted with.  The fixture's subharmonic creak
+        # sits at ~59 Hz — below the 60 Hz analysis floor — so a wide-band
+        # (40-800) metric sometimes scores the ORIGINAL at the creak octave
+        # while the (correct) resynthesis renders the encoded 120 Hz; those
+        # octave flips dominated the round-2 numbers (seed spread 1.06-1.40
+        # dB wide-band vs 1.03-1.10 band-matched over 16 seeds).
+        m = wav_metrics(x[:n], np.asarray(y[:n], np.float64), fs,
+                        minf0=60, maxf0=400)
+        # round-3 measurement (WORLD-faithful excitation: fractional pulse
+        # positions, DC remover, zero-mean noise bursts): 1.01 dB mean MCD,
+        # ~0.5 Hz F0-RMSE over seeds
+        assert m["mcd_db"] < 1.15, m
+        assert m["f0_rmse_hz"] < 3.0, m
         assert m["voiced_both"] > 100, m
+        # wide-band sanity (octave-flip exposure bounded, not tight)
+        mw = wav_metrics(x[:n], np.asarray(y[:n], np.float64), fs)
+        assert mw["mcd_db"] < 1.6, mw
+        assert mw["f0_rmse_hz"] < 12.0, mw
