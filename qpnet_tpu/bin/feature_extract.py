@@ -118,48 +118,96 @@ def _smoothed_cont_f0(f0, shiftms):
     return uv, smoothed
 
 
-def world_feature_extract(wav_list, args):
-    """Extract `/world` (uv | contF0 | mcep | codeap) + aux datasets.
+def _analyze_and_write(analyzer, args, x, f0_time, feat_name):
+    """Device/host spectral stage + dataset writes for one utterance."""
+    f0, spc, ap = analyzer.analyze(x, f0_time=f0_time)
+    codeap = analyzer.codeap()
+    mcep = analyzer.mcep(dim=args.mcep_dim, alpha=args.mcep_alpha)
+    npow = analyzer.npow()
+    uv, cont_f0_lpf = _smoothed_cont_f0(f0, args.shiftms)
+    feats = np.concatenate(
+        [uv[:, None], cont_f0_lpf[:, None], mcep, codeap], axis=1)
+    write_hdf5(feat_name, "/world", feats.astype(np.float32))
+    optional = {"/f0": (args.save_f0, lambda: f0),
+                "/ap": (args.save_ap, lambda: ap),
+                "/spc": (args.save_spc, lambda: spc),
+                "/npow": (args.save_npow, lambda: npow)}
+    for dataset, (enabled, value) in optional.items():
+        if enabled:
+            write_hdf5(feat_name, dataset, value())
+    if args.save_extended:
+        up = int(args.shiftms * args.fs * 0.001)
+        write_hdf5(feat_name, "/world_extend",
+                   extend_time(feats, up).astype(np.float32))
+    if args.save_vad:
+        _, vad_idx = extfrm(mcep, npow, power_threshold=args.pow_th)
+        write_hdf5(feat_name, "/vad_idx", vad_idx)
 
-    Same flag surface and h5 schema as the reference worker (reference
-    feature_extract.py:276-361); the analysis itself runs on this
-    framework's own WORLD/mcep implementations.
-    """
-    analyzer = WorldAnalyzer(fs=args.fs, shiftms=args.shiftms,
-                             minf0=args.minf0, maxf0=args.maxf0,
-                             fftl=args.fftl, f0_analyzer=args.f0_analyzer,
-                             backend=getattr(args, "dsp_backend", "numpy"))
+
+def _pending_jobs(wav_list, args):
+    """(index, wav_name, feat_name) for utterances still to extract."""
     n = len(wav_list)
+    jobs = []
     for i, wav_name in enumerate(wav_list):
         feat_name = _feat_name(wav_name, args)
         if check_hdf5(feat_name, "/world") and not args.overwrite:
             logging.info("[%d/%d] %s already extracted, skipping",
                          i + 1, n, wav_name)
             continue
+        jobs.append((i, wav_name, feat_name))
+    return jobs
+
+
+def world_feature_extract(wav_list, args):
+    """Extract `/world` (uv | contF0 | mcep | codeap) + aux datasets.
+
+    Same flag surface and h5 schema as the reference worker (reference
+    feature_extract.py:276-361); the analysis itself runs on this
+    framework's own WORLD/mcep implementations.
+
+    Under `--dsp_backend jax` the sequential F0 heuristic stays host-side
+    while CheapTrick/D4C/mcep run on the accelerator; a thread pool
+    (sized by --n_jobs) runs F0 for UPCOMING utterances while the device
+    analyzes the current one, so neither stage waits on the other.
+    """
+    analyzer = WorldAnalyzer(fs=args.fs, shiftms=args.shiftms,
+                             minf0=args.minf0, maxf0=args.maxf0,
+                             fftl=args.fftl, f0_analyzer=args.f0_analyzer,
+                             backend=getattr(args, "dsp_backend", "numpy"))
+    n = len(wav_list)
+    f0_threads = getattr(args, "f0_threads", 0)
+    if analyzer.backend == "jax" and f0_threads > 1 and n > 1:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        def f0_job(wav_name):
+            x = _load_wav(wav_name, args)
+            return x, analyzer.estimate_f0(x)
+
+        jobs = iter(_pending_jobs(wav_list, args))
+        with ThreadPoolExecutor(max_workers=f0_threads) as pool:
+            pending = deque()
+
+            def fill():
+                while len(pending) < 2 * f0_threads:
+                    job = next(jobs, None)
+                    if job is None:
+                        return
+                    pending.append((job, pool.submit(f0_job, job[1])))
+
+            fill()
+            while pending:
+                (i, wav_name, feat_name), fut = pending.popleft()
+                x, f0_time = fut.result()
+                logging.info("[%d/%d] extracting %s", i + 1, n, wav_name)
+                _analyze_and_write(analyzer, args, x, f0_time, feat_name)
+                fill()
+        return
+
+    for i, wav_name, feat_name in _pending_jobs(wav_list, args):
         logging.info("[%d/%d] extracting %s", i + 1, n, wav_name)
         x = _load_wav(wav_name, args)
-        f0, spc, ap = analyzer.analyze(x)
-        codeap = analyzer.codeap()
-        mcep = analyzer.mcep(dim=args.mcep_dim, alpha=args.mcep_alpha)
-        npow = analyzer.npow()
-        uv, cont_f0_lpf = _smoothed_cont_f0(f0, args.shiftms)
-        feats = np.concatenate(
-            [uv[:, None], cont_f0_lpf[:, None], mcep, codeap], axis=1)
-        write_hdf5(feat_name, "/world", feats.astype(np.float32))
-        optional = {"/f0": (args.save_f0, lambda: f0),
-                    "/ap": (args.save_ap, lambda: ap),
-                    "/spc": (args.save_spc, lambda: spc),
-                    "/npow": (args.save_npow, lambda: npow)}
-        for dataset, (enabled, value) in optional.items():
-            if enabled:
-                write_hdf5(feat_name, dataset, value())
-        if args.save_extended:
-            up = int(args.shiftms * args.fs * 0.001)
-            write_hdf5(feat_name, "/world_extend",
-                       extend_time(feats, up).astype(np.float32))
-        if args.save_vad:
-            _, vad_idx = extfrm(mcep, npow, power_threshold=args.pow_th)
-            write_hdf5(feat_name, "/vad_idx", vad_idx)
+        _analyze_and_write(analyzer, args, x, None, feat_name)
 
 
 def world_speech_synthesis(wav_list, args):
@@ -240,9 +288,12 @@ def main(argv=None):
     if args.inv:
         target_fn, path_create = world_feature_extract, featpath_create
         if args.dsp_backend == "jax" and args.n_jobs > 1:
-            # one accelerator, one worker: forked workers cannot share it
-            logging.info("dsp_backend=jax: clamping n_jobs %d -> 1",
-                         args.n_jobs)
+            # one accelerator, one process — but the host-side F0 stage
+            # runs in a thread pool of the requested width, pipelined
+            # ahead of the device spectral stage
+            args.f0_threads = min(args.n_jobs, os.cpu_count() or 1)
+            logging.info("dsp_backend=jax: 1 worker process with %d "
+                         "host F0 threads", args.f0_threads)
             args.n_jobs = 1
     else:
         target_fn, path_create = world_speech_synthesis, wavpath_create

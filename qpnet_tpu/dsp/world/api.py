@@ -48,18 +48,27 @@ class WorldAnalyzer:
         self._ap = None
         self._time_axis = None
 
-    def analyze(self, x: np.ndarray
-                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def estimate_f0(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-side F0 track (harvest or dio+stonemask): (f0, time_axis).
+        Pure numpy — safe to run in worker threads overlapping the device
+        spectral stage (see analyze(f0_time=...))."""
         x = np.asarray(x, np.float64)
         if self.f0_analyzer == "harvest":
-            f0, time_axis = harvest(x, self.fs, f0_floor=self.minf0,
-                                    f0_ceil=self.maxf0,
-                                    frame_period=self.shiftms)
+            return harvest(x, self.fs, f0_floor=self.minf0,
+                           f0_ceil=self.maxf0, frame_period=self.shiftms)
+        f0, time_axis = dio(x, self.fs, f0_floor=self.minf0,
+                            f0_ceil=self.maxf0, frame_period=self.shiftms)
+        return stonemask(x, f0, time_axis, self.fs), time_axis
+
+    def analyze(self, x: np.ndarray, f0_time=None
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """f0_time: optional precomputed (f0, time_axis) from estimate_f0 —
+        lets a caller pipeline host F0 against device spectral analysis."""
+        x = np.asarray(x, np.float64)
+        if f0_time is not None:
+            f0, time_axis = f0_time
         else:
-            f0, time_axis = dio(x, self.fs, f0_floor=self.minf0,
-                                f0_ceil=self.maxf0,
-                                frame_period=self.shiftms)
-            f0 = stonemask(x, f0, time_axis, self.fs)
+            f0, time_axis = self.estimate_f0(x)
         cheaptrick_floor = max(self.minf0, 71.0 * 1024 / self.fftl)
         if self.backend == "jax":
             from qpnet_tpu.dsp.world.jax_analysis import (

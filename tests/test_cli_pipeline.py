@@ -54,6 +54,28 @@ def _fe_args(corpus, inv):
 
 
 @pytest.mark.slow
+def test_jax_backend_f0_pipeline_matches_sequential(corpus, tmp_path):
+    """--dsp_backend jax with n_jobs>1 pipelines host F0 threads ahead of
+    the device spectral stage; the output must be bitwise identical to the
+    sequential (n_jobs=1) jax path."""
+    from qpnet_tpu.bin import feature_extract
+
+    def run(outdir, n_jobs):
+        args = [a for a in _fe_args(corpus, True)]
+        args[args.index("--n_jobs") + 1] = str(n_jobs)
+        args += ["--dsp_backend", "jax", "--feature_dir", str(outdir) + "/"]
+        feature_extract.main(args)
+
+    run(tmp_path / "h5_seq", 1)
+    run(tmp_path / "h5_pipe", 4)
+    for w in corpus["wavs"]:
+        base = os.path.basename(w).replace(".wav", ".h5")
+        a = read_hdf5(str(tmp_path / "h5_seq" / base), "/world")
+        b = read_hdf5(str(tmp_path / "h5_pipe" / base), "/world")
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
 def test_full_pipeline(corpus, tmp_path):
     from qpnet_tpu.bin import (
         calc_stats, feature_extract, noise_restored, noise_shaping,
