@@ -68,6 +68,10 @@ def get_arguments(argv=None):
                         help="step math: float32 = reference-parity; "
                              "bfloat16 = mixed precision (f32 master "
                              "weights, bf16 matmuls/activations)")
+    parser.add_argument("--fixed_engine", default="auto", type=str,
+                        choices=("auto", "pallas", "xla"),
+                        help="fixed-stack engine: auto = fused Pallas "
+                             "fwd+bwd kernel when supported")
     parser.add_argument("--verbose", default=1, type=int)
     return parser.parse_args(argv)
 
@@ -87,7 +91,8 @@ def build_configs(args):
         checkpoint_interval=args.checkpoint_interval,
         batch_length=args.batch_length, batch_size=args.batch_size,
         max_length=args.max_length, f0_threshold=args.f0_threshold,
-        seed=args.seed, intervals=args.intervals, dtype=args.dtype)
+        seed=args.seed, intervals=args.intervals, dtype=args.dtype,
+        fixed_engine=args.fixed_engine)
     return cfg, tcfg
 
 

@@ -41,6 +41,10 @@ def get_arguments(argv=None):
                         choices=("float32", "bfloat16"),
                         help="step math: float32 = reference-parity; "
                              "bfloat16 = mixed precision")
+    parser.add_argument("--fixed_engine", default="auto", type=str,
+                        choices=("auto", "pallas", "xla"),
+                        help="fixed-stack engine: auto = fused Pallas "
+                             "fwd+bwd kernel when supported")
     parser.add_argument("--verbose", default=1, type=int)
     return parser.parse_args(argv)
 
@@ -60,7 +64,8 @@ def main(argv=None):
         checkpoint_interval=args.checkpoint_interval,
         batch_length=args.batch_length, batch_size=args.batch_size,
         max_length=args.max_length, f0_threshold=args.f0_threshold,
-        seed=args.seed, intervals=args.intervals, dtype=args.dtype)
+        seed=args.seed, intervals=args.intervals, dtype=args.dtype,
+        fixed_engine=args.fixed_engine)
 
     from qpnet_tpu.bin.qpnet_train import resolve_lists
     args.feature_format = run_cfg.feature_format

@@ -161,6 +161,10 @@ class TrainConfig:
     # precision (f32 master weights/optimizer, bf16 matmuls + activations,
     # f32 skip/logit accumulation) — ~1.6x faster per step on v5e
     dtype: str = "float32"
+    # fixed-stack engine for the training step: "auto" picks the fused
+    # Pallas fwd+bwd kernel (ops/train_kernel.py) when the platform/config
+    # supports it, "xla" forces the block loop, "pallas" forces the kernel
+    fixed_engine: str = "auto"
 
 
 @dataclass

@@ -214,7 +214,8 @@ def postprocess(params: Params, skip_sum: jnp.ndarray, dtype) -> jnp.ndarray:
 def forward(params: Params, cfg: ModelConfig,
             x: jnp.ndarray, h: jnp.ndarray, d: jnp.ndarray,
             compute_dtype=jnp.float32, h_up: Optional[jnp.ndarray] = None,
-            remat: bool = False) -> jnp.ndarray:
+            remat: bool = False, fixed_engine: str = "xla",
+            interpret: bool = False) -> jnp.ndarray:
     """Teacher-forced forward over a full window.
 
     Args:
@@ -225,6 +226,10 @@ def forward(params: Params, cfg: ModelConfig,
          (ignored when a precomputed sample-rate `h_up` (B, T, n_aux) is
          given).
       d: (B, T) float32 pitch-dependent dilation factors at sample rate.
+      fixed_engine: "xla" runs the fixed stack as the block loop below;
+         "pallas" runs it as the fused Pallas fwd+bwd custom-VJP kernel
+         (ops/train_kernel.py) — same math, weights resident in VMEM.
+         The adaptive stack/causal/post-net always stay in XLA.
     Returns:
       (B, T, n_quantize) float32 logits; logits[:, t] predicts x[t+1].
     """
@@ -245,9 +250,38 @@ def forward(params: Params, cfg: ModelConfig,
     ablock = jax.checkpoint(adaptive_block, static_argnums=(4, 5)) if remat else adaptive_block
 
     skip_sum = jnp.zeros(o.shape[:2] + (cfg.n_skipch,), jnp.float32)
-    for p, dil in zip(params["fixed"], cfg.dilationsF):
-        o, skip = fblock(p, o, h_up, dil, R, compute_dtype)
-        skip_sum = skip_sum + skip
+    if fixed_engine == "pallas":
+        from qpnet_tpu.ops import train_kernel as TK
+        A = cfg.n_aux
+        W = {
+            "W_in": jnp.stack([
+                jnp.concatenate([p["W_cur"], p["W_prev"]], axis=0)
+                for p in params["fixed"]]),
+            "W_aux": jnp.stack([
+                jnp.pad(p["W_aux"], ((0, TK.AUX_PAD - A), (0, 0)))
+                for p in params["fixed"]]),
+            "b_gate": jnp.stack([p["b_gate"] for p in params["fixed"]]),
+            "W_out": jnp.stack([
+                jnp.concatenate([p["W_skip"], p["W_res"]], axis=1)
+                for p in params["fixed"]]),
+            "b_res": jnp.stack([p["b_res"] for p in params["fixed"]]),
+        }
+        B, T = o.shape[:2]
+        Tp = -(-T // TK.TILE) * TK.TILE
+        o_pad = jnp.pad(o, ((0, 0), (0, Tp - T), (0, 0)))
+        h_pad = jnp.pad(h_up, ((0, 0), (0, Tp - T), (0, TK.AUX_PAD - A)))
+        dtype_name = ("bfloat16" if compute_dtype == jnp.bfloat16
+                      else "float32")
+        o_fx, skip = TK.fixed_stack_fused(
+            (tuple(cfg.dilationsF), R, cfg.n_skipch), dtype_name,
+            interpret, W, o_pad, h_pad)
+        o = o_fx[:, :T]
+        skip_sum = skip_sum + skip[:, :T] \
+            + sum(p["b_skip"] for p in params["fixed"])
+    else:
+        for p, dil in zip(params["fixed"], cfg.dilationsF):
+            o, skip = fblock(p, o, h_up, dil, R, compute_dtype)
+            skip_sum = skip_sum + skip
     for p, dil in zip(params["adaptive"], cfg.dilationsA):
         r = jnp.round(d * dil).astype(jnp.int32)
         o, skip = ablock(p, o, h_up, r, R, compute_dtype)

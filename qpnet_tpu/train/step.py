@@ -58,24 +58,50 @@ def masked_ce_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def _loss_fn(params, cfg, batch, compute_dtype, remat):
+def _loss_fn(params, cfg, batch, compute_dtype, remat, fixed_engine="xla"):
     logits = forward(params, cfg, batch["x"], batch["h"], batch["d"],
-                     compute_dtype=compute_dtype, remat=remat)
+                     compute_dtype=compute_dtype, remat=remat,
+                     fixed_engine=fixed_engine)
     return masked_ce_loss(logits, batch["t"], batch["valid_len"])
+
+
+def resolve_fixed_engine(fixed_engine: str, cfg: ModelConfig, B: int,
+                         T: int, compute_dtype) -> str:
+    """'auto' -> the fused Pallas fixed-stack kernel when this platform /
+    config / shape supports it (ops/train_kernel.py), else the XLA block
+    loop."""
+    if fixed_engine != "auto":
+        return fixed_engine
+    from qpnet_tpu.ops.train_kernel import fixed_stack_available
+    return "pallas" if fixed_stack_available(cfg, B, T, compute_dtype) \
+        else "xla"
 
 
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
-                    compute_dtype=jnp.float32, remat: bool = True):
+                    compute_dtype=jnp.float32, remat: bool = True,
+                    fixed_engine: str = "auto"):
     """Returns step(state, batch) -> (state, loss).
 
     batch: {"x": (B,T) i32, "h": (B,F,A) f32, "t": (B,T) i32,
             "d": (B,T) f32, "valid_len": scalar i32}
+    fixed_engine: "auto" | "pallas" | "xla" — see resolve_fixed_engine.
     """
 
+    # under a mesh the jitted step is GSPMD-partitioned; the fused
+    # pallas_call has no partitioning rule, so auto keeps the XLA loop
+    # there (single-chip — the reference's training shape — gets the
+    # kernel; revisit with shard_map if multi-chip training ever needs it)
+    if mesh is not None and fixed_engine == "auto":
+        fixed_engine = "xla"
+
     def step(state: TrainState, batch) -> tuple[TrainState, jnp.ndarray]:
+        # shapes are static under jit: resolve the engine at trace time
+        engine = resolve_fixed_engine(fixed_engine, cfg,
+                                      batch["x"].shape[0],
+                                      batch["x"].shape[1], compute_dtype)
         loss, grads = jax.value_and_grad(_loss_fn)(
-            state.params, cfg, batch, compute_dtype, remat)
+            state.params, cfg, batch, compute_dtype, remat, engine)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.iterations + 1), loss

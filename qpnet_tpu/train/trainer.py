@@ -80,7 +80,9 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
         logging.info("mixed precision: bf16 matmuls/activations, "
                      "f32 master weights and loss accumulation")
     step_fn = make_train_step(cfg, tx, mesh=mesh, remat=remat,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype,
+                              fixed_engine=getattr(tcfg, "fixed_engine",
+                                                   "auto"))
 
     iterations = 0
     loss_record = []
