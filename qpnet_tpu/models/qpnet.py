@@ -215,7 +215,8 @@ def forward(params: Params, cfg: ModelConfig,
             x: jnp.ndarray, h: jnp.ndarray, d: jnp.ndarray,
             compute_dtype=jnp.float32, h_up: Optional[jnp.ndarray] = None,
             remat: bool = False, fixed_engine: str = "xla",
-            interpret: bool = False) -> jnp.ndarray:
+            interpret: bool = False,
+            maxd_bucket: Optional[int] = None) -> jnp.ndarray:
     """Teacher-forced forward over a full window.
 
     Args:
@@ -229,7 +230,12 @@ def forward(params: Params, cfg: ModelConfig,
       fixed_engine: "xla" runs the fixed stack as the block loop below;
          "pallas" runs it as the fused Pallas fwd+bwd custom-VJP kernel
          (ops/train_kernel.py) — same math, weights resident in VMEM.
-         The adaptive stack/causal/post-net always stay in XLA.
+         Causal embedding and post-net always stay in XLA.
+      maxd_bucket: with fixed_engine="pallas", a static bucket >=
+         ceil(max(d)) ALSO fuses the pitch-adaptive stack into the kernel
+         (frame-sliced gathers) — requires d to be frame-constant, which
+         the training batcher guarantees; None keeps the adaptive stack
+         in XLA (any d).
     Returns:
       (B, T, n_quantize) float32 logits; logits[:, t] predicts x[t+1].
     """
@@ -253,36 +259,55 @@ def forward(params: Params, cfg: ModelConfig,
     if fixed_engine == "pallas":
         from qpnet_tpu.ops import train_kernel as TK
         A = cfg.n_aux
+        # maxd_bucket set => the adaptive stack fuses into the kernel too
+        # (requires frame-constant d, which the training batcher produces)
+        fuse_adaptive = maxd_bucket is not None and len(cfg.dilationsA) > 0
+        layers = list(params["fixed"]) + (
+            list(params["adaptive"]) if fuse_adaptive else [])
         W = {
             "W_in": jnp.stack([
                 jnp.concatenate([p["W_cur"], p["W_prev"]], axis=0)
-                for p in params["fixed"]]),
+                for p in layers]),
             "W_aux": jnp.stack([
                 jnp.pad(p["W_aux"], ((0, TK.AUX_PAD - A), (0, 0)))
-                for p in params["fixed"]]),
-            "b_gate": jnp.stack([p["b_gate"] for p in params["fixed"]]),
+                for p in layers]),
+            "b_gate": jnp.stack([p["b_gate"] for p in layers]),
             "W_out": jnp.stack([
                 jnp.concatenate([p["W_skip"], p["W_res"]], axis=1)
-                for p in params["fixed"]]),
-            "b_res": jnp.stack([p["b_res"] for p in params["fixed"]]),
+                for p in layers]),
+            "b_res": jnp.stack([p["b_res"] for p in layers]),
         }
         B, T = o.shape[:2]
-        Tp = -(-T // TK.TILE) * TK.TILE
+        up = cfg.upsampling_factor
+        TS = TK.tile_for(up)
+        Tp = -(-T // TS) * TS
         o_pad = jnp.pad(o, ((0, 0), (0, Tp - T), (0, 0)))
         h_pad = jnp.pad(h_up, ((0, 0), (0, Tp - T), (0, TK.AUX_PAD - A)))
         dtype_name = ("bfloat16" if compute_dtype == jnp.bfloat16
                       else "float32")
+        if fuse_adaptive:
+            d_frames = jnp.pad(
+                d[:, ::up].astype(jnp.float32),
+                ((0, 0), (0, Tp // up - d[:, ::up].shape[1])),
+                constant_values=1.0)
+            static = (tuple(cfg.dilationsF), tuple(cfg.dilationsA),
+                      int(maxd_bucket), up, R, cfg.n_skipch)
+        else:
+            d_frames = None
+            static = (tuple(cfg.dilationsF), (), 1, up, R, cfg.n_skipch)
         o_fx, skip = TK.fixed_stack_fused(
-            (tuple(cfg.dilationsF), R, cfg.n_skipch), dtype_name,
-            interpret, W, o_pad, h_pad)
+            static, dtype_name, interpret, W, o_pad, h_pad, d_frames)
         o = o_fx[:, :T]
         skip_sum = skip_sum + skip[:, :T] \
-            + sum(p["b_skip"] for p in params["fixed"])
+            + sum(p["b_skip"] for p in layers)
+        adaptive_rest = [] if fuse_adaptive else \
+            list(zip(params["adaptive"], cfg.dilationsA))
     else:
         for p, dil in zip(params["fixed"], cfg.dilationsF):
             o, skip = fblock(p, o, h_up, dil, R, compute_dtype)
             skip_sum = skip_sum + skip
-    for p, dil in zip(params["adaptive"], cfg.dilationsA):
+        adaptive_rest = list(zip(params["adaptive"], cfg.dilationsA))
+    for p, dil in adaptive_rest:
         r = jnp.round(d * dil).astype(jnp.int32)
         o, skip = ablock(p, o, h_up, r, R, compute_dtype)
         skip_sum = skip_sum + skip

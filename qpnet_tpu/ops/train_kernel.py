@@ -73,33 +73,38 @@ def _mm_nt(a, b, dtype):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _make_fwd_kernel(dils: Sequence[int], R: int, S: int, TS: int,
-                     dtype, act):
-    L = len(dils)
-    maxd = max(dils)
+def _make_fwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
+                     up: int, R: int, S: int, TS: int, dtype, act):
+    nF, nA = len(dilsF), len(dilsA)
+    maxdF = max(dilsF) if dilsF else 1
+    NFr = TS // up if nA else 0
+    HA = [maxd * d for d in dilsA]
 
-    def kernel(o0_ref, h_ref,
-               W_in_ref, W_aux_ref, bg_ref, W_out_ref, br_ref,
-               o_out_ref, skip_ref, oall_ref, st_ref,
-               carry):
+    def kernel(*refs):
+        it = iter(refs)
+        o0_ref, h_ref = next(it), next(it)
+        d_ref = next(it) if nA else None
+        W_in_ref, W_aux_ref, bg_ref = next(it), next(it), next(it)
+        W_out_ref, br_ref = next(it), next(it)
+        o_out_ref, skip_ref, oall_ref, st_ref = \
+            next(it), next(it), next(it), next(it)
+        carryF = next(it)
+        rings = [next(it) for _ in range(nA)]
+        past_scr = next(it) if nA else None
+
         t_idx = pl.program_id(1)
 
         @pl.when(t_idx == 0)
         def _reset():
             # sequence start: the causal shift reads zero fill
-            carry[...] = jnp.zeros_like(carry)
+            carryF[...] = jnp.zeros_like(carryF)
 
         o = o0_ref[0]                           # (TS, R) act dtype
         h = h_ref[0]                            # (TS, AUX_PAD)
         skip = jnp.zeros((TS, S), jnp.float32)
-        for l, dil in enumerate(dils):
-            oall_ref[l, 0] = o.astype(oall_ref.dtype)
-            # shifted[j] = o[j - dil], first dil rows from the previous
-            # tile's tail (carried in scratch)
-            shifted = jnp.concatenate(
-                [carry[l, maxd - dil:], o[: TS - dil]], axis=0)
-            carry[l] = o[TS - maxd:]
-            xin = jnp.concatenate([o, shifted], axis=-1)   # (TS, 2R)
+
+        def layer_math(l, o, past, skip):
+            xin = jnp.concatenate([o, past], axis=-1)      # (TS, 2R)
             z = (_mm(xin, W_in_ref[l], dtype)
                  + _mm(h, W_aux_ref[l], dtype)
                  + bg_ref[l])                              # (TS, 2R) f32
@@ -109,8 +114,43 @@ def _make_fwd_kernel(dils: Sequence[int], R: int, S: int, TS: int,
                 st_ref.dtype)
             g = (s * t).astype(dtype)
             out = _mm(g, W_out_ref[l], dtype)              # (TS, S+R)
-            skip = skip + out[:, :S]
-            o = (o.astype(jnp.float32) + out[:, S:] + br_ref[l]).astype(act)
+            o_new = (o.astype(jnp.float32) + out[:, S:]
+                     + br_ref[l]).astype(act)
+            return o_new, skip + out[:, :S]
+
+        for l, dil in enumerate(dilsF):
+            oall_ref[l, 0] = o.astype(oall_ref.dtype)
+            # shifted[j] = o[j - dil], first dil rows from the previous
+            # tile's tail (carried in scratch)
+            shifted = jnp.concatenate(
+                [carryF[l, maxdF - dil:], o[: TS - dil]], axis=0)
+            carryF[l] = o[TS - maxdF:]
+            o, skip = layer_math(l, o, shifted, skip)
+
+        for j, dil in enumerate(dilsA):
+            # pitch-adaptive layer: the look-back r = round(d*dil) is
+            # FRAME-constant (the training d track repeats per frame), so
+            # each frame's past window is one contiguous slice of the
+            # layer's activation history ring — no per-sample gather
+            l = nF + j
+            H, ring = HA[j], rings[j]
+            oall_ref[l, 0] = o.astype(oall_ref.dtype)
+
+            @pl.when(t_idx == 0)
+            def _seed(ring=ring, o=o, H=H):
+                # history below t=0 replicates the first sample — the XLA
+                # path's clip(t-r, 0) gather semantics
+                ring[0:H] = jnp.broadcast_to(o[0:1], (H, R)).astype(
+                    ring.dtype)
+
+            ring[H: H + TS] = o.astype(ring.dtype)
+            for f in range(NFr):
+                r = jnp.clip(
+                    jnp.round(d_ref[0, f] * dil).astype(jnp.int32), 0, H)
+                past_scr[f * up: (f + 1) * up] = \
+                    ring[pl.ds(H + f * up - r, up)]
+            o, skip = layer_math(l, o, past_scr[...].astype(act), skip)
+            ring[0:H] = ring[TS: TS + H]
         o_out_ref[0] = o
         skip_ref[0] = skip
 
@@ -119,24 +159,38 @@ def _make_fwd_kernel(dils: Sequence[int], R: int, S: int, TS: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dils", "R", "S", "TS", "dtype_name", "interpret"))
-def _fwd_call(o0, h_up, W_in, W_aux, b_gate, W_out, b_res,
-              dils, R, S, TS, dtype_name, interpret):
+    static_argnames=("dilsF", "dilsA", "maxd", "up", "R", "S", "TS",
+                     "dtype_name", "interpret"))
+def _fwd_call(o0, h_up, d_frames, W_in, W_aux, b_gate, W_out, b_res,
+              dilsF, dilsA, maxd, up, R, S, TS, dtype_name, interpret):
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     act = dtype
     B, T, _ = o0.shape
-    L = len(dils)
+    nF, nA = len(dilsF), len(dilsA)
+    L = nF + nA
     nT = T // TS
-    kernel = _make_fwd_kernel(dils, R, S, TS, dtype, act)
+    NFr = TS // up
+    kernel = _make_fwd_kernel(dilsF, dilsA, maxd, up, R, S, TS, dtype, act)
     resident = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, TS, R), lambda b, t: (b, t, 0)),
+        pl.BlockSpec((1, TS, AUX_PAD), lambda b, t: (b, t, 0)),
+    ]
+    operands = [o0, h_up]
+    if nA:
+        in_specs.append(pl.BlockSpec((1, NFr), lambda b, t: (b, t),
+                                     memory_space=pltpu.SMEM))
+        operands.append(d_frames)
+    in_specs += [resident()] * 5
+    operands += [W_in, W_aux, b_gate, W_out, b_res]
+    scratch = [pltpu.VMEM((max(nF, 1), max(dilsF) if dilsF else 1, R), act)]
+    scratch += [pltpu.VMEM((maxd * dil + TS, R), act) for dil in dilsA]
+    if nA:
+        scratch.append(pltpu.VMEM((TS, R), act))
     return pl.pallas_call(
         kernel,
         grid=(B, nT),
-        in_specs=[
-            pl.BlockSpec((1, TS, R), lambda b, t: (b, t, 0)),
-            pl.BlockSpec((1, TS, AUX_PAD), lambda b, t: (b, t, 0)),
-            resident(), resident(), resident(), resident(), resident(),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, TS, R), lambda b, t: (b, t, 0)),
             pl.BlockSpec((1, TS, S), lambda b, t: (b, t, 0)),
@@ -149,28 +203,46 @@ def _fwd_call(o0, h_up, W_in, W_aux, b_gate, W_out, b_res,
             jax.ShapeDtypeStruct((L, B, T, R), act),
             jax.ShapeDtypeStruct((L, B, T, 2 * R), act),
         ),
-        scratch_shapes=[pltpu.VMEM((L, max(dils), R), act)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=126 * 1024 * 1024),
         interpret=interpret,
-    )(o0, h_up, W_in, W_aux, b_gate, W_out, b_res)
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
 # backward kernel (one chunk of layers, reverse time order)
 # ---------------------------------------------------------------------------
 
-def _make_bwd_kernel(dils: Sequence[int], R: int, S: int, TS: int, dtype):
-    """dils: dilations of THIS chunk's layers (outermost first is handled
-    by iterating in reverse below)."""
-    L = len(dils)
-    maxd = max(dils)
+def _make_bwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
+                     up: int, nprev: int, R: int, S: int, TS: int, dtype):
+    """One chunk of layers: `dilsF` fixed layers followed by `dilsA`
+    adaptive layers (chunking splits at the boundary, so one of the lists
+    is empty in practice); iterated in reverse below."""
+    import os
+    ablate = os.environ.get("QPNET_TRAIN_KERNEL_ABLATE", "")  # perf triage
+    nF, nA = len(dilsF), len(dilsA)
+    L = nF + nA
+    maxdF = max(dilsF) if dilsF else 1
+    NFr = TS // up if nA else 0
+    NP = nprev * TS
+    HA = [maxd * d for d in dilsA]
 
-    def kernel(do_ref, dskip_ref, oall_ref, oprev_ref, st_ref, h_ref,
-               W_in_ref, W_aux_ref, W_out_ref,
-               do0_ref, dh_ref, dWin_ref, dWaux_ref, dbg_ref,
-               dWout_ref, dbr_ref,
-               carry):
+    def kernel(*refs):
+        it = iter(refs)
+        do_ref, dskip_ref, oall_ref, st_ref, h_ref = \
+            next(it), next(it), next(it), next(it), next(it)
+        d_ref = next(it) if nA else None
+        oprev_refs = [next(it) for _ in range(nprev if nA else 0)]
+        W_in_ref, W_aux_ref, W_out_ref = next(it), next(it), next(it)
+        do0_ref, dh_ref, dWin_ref, dWaux_ref, dbg_ref, dWout_ref, \
+            dbr_ref = (next(it) for _ in range(7))
+        carry = next(it)
+        carry_dz = next(it)
+        hists = [next(it) for _ in range(nA)]
+        pendings = [next(it) for _ in range(nA)]
+        past_scr = next(it) if nA else None
+
         b_idx = pl.program_id(0)
         t_rev = pl.program_id(1)          # 0 = LAST time tile
         nT = pl.num_programs(1)
@@ -186,55 +258,125 @@ def _make_bwd_kernel(dils: Sequence[int], R: int, S: int, TS: int, dtype):
         @pl.when(t_rev == 0)
         def _reset_carry():
             carry[...] = jnp.zeros_like(carry)
+            carry_dz[...] = jnp.zeros_like(carry_dz)
+            for p in pendings:
+                p[...] = jnp.zeros_like(p)
 
-        is_first_tile = pl.program_id(1) == nT - 1   # earliest time tile
+        t0 = (nT - 1 - t_rev) * TS        # absolute start of this tile
+        is_earliest = t_rev == nT - 1
         do = do_ref[0].astype(jnp.float32)           # (TS, R)
         dskip = dskip_ref[0].astype(jnp.float32)     # (TS, S)
         h = h_ref[0]
         dh = jnp.zeros((TS, AUX_PAD), jnp.float32)
-        for i in range(L - 1, -1, -1):
-            dil = dils[i]
-            o = oall_ref[i, 0]                       # (TS, R) stored input
+
+        def layer_dz(i, o, do, dskip):
+            """Common per-layer backward up to dz; returns (dzc, dxin)."""
+            nonlocal dh
             st = st_ref[i, 0]
-            s = st[:, :R].astype(jnp.float32)
-            t = st[:, R:].astype(jnp.float32)
+            s, t = st[:, :R], st[:, R:]              # stored act dtype
             dbr_ref[i] += jnp.sum(do, axis=0)
             dout = jnp.concatenate([dskip, do], axis=-1)  # (TS, S+R)
             g = (s * t).astype(dtype)
-            dWout_ref[i] += _mm_tn(g, dout.astype(dtype), dtype)
-            dg = _mm_nt(dout.astype(dtype), W_out_ref[i], dtype)  # (TS, R)
-            dz = jnp.concatenate(
-                [dg * t * s * (1.0 - s), dg * s * (1.0 - t * t)],
-                axis=-1)                                   # (TS, 2R) f32
-            dbg_ref[i] += jnp.sum(dz, axis=0)
-            dzc = dz.astype(dtype)
-            # aux-side grads in f32: the 48-column matmuls are a rounding
-            # error of the step cost, and the upsampler's few parameters
-            # (up_w/up_b) see every bit of dh precision
-            dh = dh + _mm_nt(dz, W_aux_ref[i].astype(jnp.float32),
-                             jnp.float32)
-            dWaux_ref[i] += _mm_tn(h.astype(jnp.float32), dz, jnp.float32)
-            # xin = [o, shifted(o)]; shifted head rows come from the
-            # previous (earlier) tile's stored tail
-            prev_tail = oprev_ref[i, 0, TS - dil:, :]
-            prev_tail = jnp.where(is_first_tile,
-                                  jnp.zeros_like(prev_tail), prev_tail)
-            shifted = jnp.concatenate([prev_tail, o[: TS - dil]], axis=0)
-            xin = jnp.concatenate([o, shifted], axis=-1)
-            dWin_ref[i] += _mm_tn(xin, dzc, dtype)
+            if "nodW" not in ablate:
+                dWout_ref[i] += _mm_tn(g, dout.astype(dtype), dtype)
+            dg = _mm_nt(dout.astype(dtype), W_out_ref[i], dtype)
+            if "noelem" in ablate:
+                dzc = jnp.concatenate([dg, dg], axis=-1).astype(dtype)
+            else:
+                # gate-derivative chain at compute precision: the products
+                # feed bf16 matmuls anyway, and the VPU chain on (TS, 2R)
+                # was 2.7 ms/step in f32 (ablation-measured)
+                dgc = dg.astype(dtype)
+                sc, tc = s.astype(dtype), t.astype(dtype)
+                u = dgc * sc
+                dzc = jnp.concatenate(
+                    [dgc * tc * sc * (1 - sc), u - u * tc * tc], axis=-1)
+            dbg_ref[i] += jnp.sum(dzc.astype(jnp.float32), axis=0)
+            if "noaux" not in ablate:
+                dh = dh + _mm_nt(dzc, W_aux_ref[i], dtype)
+                dWaux_ref[i] += _mm_tn(h, dzc, dtype)
+            if "nodW" not in ablate:
+                dWin_ref[i, :R] += _mm_tn(o, dzc, dtype)
             dxin = _mm_nt(dzc, W_in_ref[i], dtype)         # (TS, 2R)
+            return dzc, dxin
+
+        # ---- adaptive layers (the chunk's tail) ----
+        for j in range(nA - 1, -1, -1):
+            i = nF + j
+            dil = dilsA[j]
+            H, hist, pending = HA[j], hists[j], pendings[j]
+            o = oall_ref[i, 0]
+            # rebuild this layer's activation history [t0-NP, t0+TS) from
+            # the streamed previous tiles + the current block; rows below
+            # absolute 0 replicate the first sample (clip-gather semantics)
+            for m in range(nprev):
+                hist[m * TS:(m + 1) * TS] = \
+                    oprev_refs[nprev - m - 1][i, 0]
+            hist[NP:] = o
+            zoff = jnp.clip(NP - t0, 0, NP)
+            row0 = hist[pl.ds(zoff, 1)]
+            riota = jax.lax.broadcasted_iota(jnp.int32, (NP + TS, R), 0)
+            hist[...] = jnp.where(riota < zoff,
+                                  jnp.broadcast_to(row0, (NP + TS, R)),
+                                  hist[...])
+            rs = []
+            for f in range(NFr):
+                r = jnp.clip(
+                    jnp.round(d_ref[0, f] * dil).astype(jnp.int32), 0,
+                    min(H, NP))
+                rs.append(r)
+                past_scr[f * up:(f + 1) * up] = \
+                    hist[pl.ds(NP + f * up - r, up)]
+            past = past_scr[...].astype(dtype)
+            dzc, dxin = layer_dz(i, o, do, dskip)
+            if "nodW" not in ablate:
+                dWin_ref[i, R:] += _mm_tn(past, dzc, dtype)
+            # transpose of the frame-slice gather: scatter each frame's
+            # dpast back to its window, then fold the in-tile part into do
+            dprev = dxin[:, R:]
+            for f in range(NFr):
+                seg = pending[pl.ds(NP + f * up - rs[f], up)]
+                pending[pl.ds(NP + f * up - rs[f], up)] = \
+                    seg + dprev[f * up:(f + 1) * up]
+            do = do + dxin[:, :R] + pending[NP:]
+            # positions below 0 replicated the first sample: their grads
+            # all fold into row 0 at the earliest tile
+            extra = jnp.sum(pending[:NP], axis=0)
+            head = jnp.concatenate(
+                [extra[None], jnp.zeros((TS - 1, R), jnp.float32)], axis=0)
+            do = do + jnp.where(is_earliest, head, 0.0)
+            # shift the carry window one tile earlier
+            pvals = pending[...]
+            pending[TS:] = pvals[:NP]
+            pending[:TS] = jnp.zeros((TS, R), jnp.float32)
+
+        # ---- fixed layers ----
+        for i in range(nF - 1, -1, -1):
+            dil = dilsF[i]
+            o = oall_ref[i, 0]
+            dzc, dxin = layer_dz(i, o, do, dskip)
+            # dW for the shifted branch WITHOUT re-reading shifted o:
+            # shifted(o)^T @ dz == o^T @ unshift(dz), and unshift's tail
+            # rows are the LATER tile's dz head — exactly what reverse
+            # tile order lets us carry (kills the second streamed copy of
+            # the o activations)
+            dz_unshift = jnp.concatenate(
+                [dzc[dil:], carry_dz[i, :dil]], axis=0)
+            if "nodW" not in ablate:
+                dWin_ref[i, R:] += _mm_tn(o, dz_unshift, dtype)
+            carry_dz[i, :dil] = dzc[:dil]
             dprev = dxin[:, R:]
             # transpose of the shift: row j contributes to position j-dil
             shift_back = jnp.concatenate(
                 [dprev[dil:], jnp.zeros((dil, R), jnp.float32)], axis=0)
             from_later = jnp.concatenate(
-                [jnp.zeros((TS - maxd, R), jnp.float32),
+                [jnp.zeros((TS - maxdF, R), jnp.float32),
                  carry[i]], axis=0)
             do = do + dxin[:, :R] + shift_back + from_later
-            if dil < maxd:
+            if dil < maxdF:
                 carry[i] = jnp.concatenate(
-                    [jnp.zeros((maxd - dil, R), jnp.float32), dprev[:dil]],
-                    axis=0)
+                    [jnp.zeros((maxdF - dil, R), jnp.float32),
+                     dprev[:dil]], axis=0)
             else:
                 carry[i] = dprev[:dil]
         do0_ref[0] = do
@@ -245,15 +387,20 @@ def _make_bwd_kernel(dils: Sequence[int], R: int, S: int, TS: int, dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dils", "R", "S", "TS", "dtype_name", "interpret"))
-def _bwd_call(do, dskip, oall, st, h_up, W_in, W_aux, W_out,
-              dils, R, S, TS, dtype_name, interpret):
+    static_argnames=("dilsF", "dilsA", "maxd", "up", "R", "S", "TS",
+                     "dtype_name", "interpret"))
+def _bwd_call(do, dskip, oall, st, h_up, d_frames, W_in, W_aux, W_out,
+              dilsF, dilsA, maxd, up, R, S, TS, dtype_name, interpret):
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     B, T, _ = do.shape
-    L = len(dils)
+    nF, nA = len(dilsF), len(dilsA)
+    L = nF + nA
     nT = T // TS
-    maxd = max(dils)
-    kernel = _make_bwd_kernel(dils, R, S, TS, dtype)
+    maxdF = max(dilsF) if dilsF else 1
+    NFr = TS // up
+    nprev = -(-maxd * max(dilsA) // TS) if nA else 0
+    kernel = _make_bwd_kernel(dilsF, dilsA, maxd, up, nprev, R, S, TS,
+                              dtype)
     resident = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def rev(b, t):
@@ -262,24 +409,40 @@ def _bwd_call(do, dskip, oall, st, h_up, W_in, W_aux, W_out,
     def rev4(b, t):
         return (0, b, nT - 1 - t, 0)
 
-    def rev4_prev(b, t):
-        # previous (earlier) time tile; clamped at 0, masked in-kernel
-        return (0, b, jnp.maximum(nT - 2 - t, 0), 0)
+    def rev4_back(k):
+        # the k-th earlier tile (clamped; sub-zero rows masked in-kernel)
+        return lambda b, t: (0, b, jnp.maximum(nT - 1 - t - k, 0), 0)
 
     const = lambda b, t: (0, 0)
     const3 = lambda b, t: (0, 0, 0)
+    in_specs = [
+        pl.BlockSpec((1, TS, R), rev),
+        pl.BlockSpec((1, TS, S), rev),
+        pl.BlockSpec((L, 1, TS, R), rev4),
+        pl.BlockSpec((L, 1, TS, 2 * R), rev4),
+        pl.BlockSpec((1, TS, AUX_PAD), rev),
+    ]
+    operands = [do, dskip, oall, st, h_up]
+    if nA:
+        in_specs.append(pl.BlockSpec((1, NFr), lambda b, t: (b, nT - 1 - t),
+                                     memory_space=pltpu.SMEM))
+        operands.append(d_frames)
+        for k in range(1, nprev + 1):
+            in_specs.append(pl.BlockSpec((L, 1, TS, R), rev4_back(k)))
+            operands.append(oall)
+    in_specs += [resident(), resident(), resident()]
+    operands += [W_in, W_aux, W_out]
+    NP = nprev * TS
+    scratch = [pltpu.VMEM((max(nF, 1), maxdF, R), jnp.float32),
+               pltpu.VMEM((max(nF, 1), maxdF, 2 * R), dtype)]
+    scratch += [pltpu.VMEM((NP + TS, R), dtype) for _ in dilsA]
+    scratch += [pltpu.VMEM((NP + TS, R), jnp.float32) for _ in dilsA]
+    if nA:
+        scratch.append(pltpu.VMEM((TS, R), dtype))
     return pl.pallas_call(
         kernel,
         grid=(B, nT),
-        in_specs=[
-            pl.BlockSpec((1, TS, R), rev),
-            pl.BlockSpec((1, TS, S), rev),
-            pl.BlockSpec((L, 1, TS, R), rev4),
-            pl.BlockSpec((L, 1, TS, R), rev4_prev),
-            pl.BlockSpec((L, 1, TS, 2 * R), rev4),
-            pl.BlockSpec((1, TS, AUX_PAD), rev),
-            resident(), resident(), resident(),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, TS, R), rev),
             pl.BlockSpec((1, TS, AUX_PAD), rev),
@@ -298,11 +461,11 @@ def _bwd_call(do, dskip, oall, st, h_up, W_in, W_aux, W_out,
             jax.ShapeDtypeStruct((L, R, S + R), jnp.float32),
             jax.ShapeDtypeStruct((L, R), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((L, maxd, R), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=126 * 1024 * 1024),
         interpret=interpret,
-    )(do, dskip, oall, oall, st, h_up, W_in, W_aux, W_out)
+    )(*operands)
 
 
 # ---------------------------------------------------------------------------
@@ -326,7 +489,7 @@ def bwd_chunk_cost(c: int, R: int, S: int, maxd: int, TS: int = TILE,
     dW = 4 * c * (2 * R * 2 * R + AUX_PAD * 2 * R + 2 * R
                   + R * (S + R) + R)
     # streamed blocks are double-buffered by the pipeline (x2)
-    acts = 2 * dtype_bytes * c * TS * (R + R + 2 * R)  # oall + oprev + st
+    acts = 2 * dtype_bytes * c * TS * (R + 2 * R)  # oall + st
     carry = 4 * c * maxd * R
     work = 4 * TS * (2 * R * 3 + R * 2 + S + AUX_PAD * 2)
     return weights + dW + acts + carry + work + (1 << 23)
@@ -352,6 +515,15 @@ def choose_bwd_chunks(dils: Sequence[int], R: int, S: int,
     return chunks
 
 
+def tile_for(up: int) -> int:
+    """Time-tile length: a multiple of the upsampling factor (frame-sliced
+    adaptive gathers need whole frames per tile) and of 8 sublanes, close
+    to the TILE target."""
+    import math
+    l = up * 8 // math.gcd(up, 8)
+    return max(l, (TILE // l) * l)
+
+
 def fixed_stack_available(cfg, B: int, T: int, dtype=jnp.bfloat16) -> bool:
     """True when the fused kernel supports this config on this platform."""
     platform = jax.devices()[0].platform
@@ -359,13 +531,15 @@ def fixed_stack_available(cfg, B: int, T: int, dtype=jnp.bfloat16) -> bool:
         return False
     R, S = cfg.n_resch, cfg.n_skipch
     dils = tuple(cfg.dilationsF)
-    if max(dils) > TILE:  # carry/concat layout needs dil <= tile length
+    TS = tile_for(cfg.upsampling_factor)
+    if max(dils) > TS:  # carry/concat layout needs dil <= tile length
         return False
-    if fwd_vmem_cost(len(dils), R, S, max(dils)) > VMEM_BUDGET:
+    if fwd_vmem_cost(len(dils), R, S, max(dils), TS) > VMEM_BUDGET:
         return False
     # saved activations (o_all + st) must fit HBM comfortably: 4R bytes
     # per position per layer (bf16)
-    act_bytes = 2 * len(dils) * B * T * 4 * R
+    L = len(dils) + len(cfg.dilationsA)
+    act_bytes = 2 * L * B * T * 4 * R
     return act_bytes < 4 * (1 << 30)
 
 
@@ -374,53 +548,66 @@ def fixed_stack_available(cfg, B: int, T: int, dtype=jnp.bfloat16) -> bool:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def fixed_stack_fused(static, dtype_name, interpret, weights, o0, h_up):
-    """Fused fixed stack: (o_out, skip_sum) = stack(o0, h_up).
+def fixed_stack_fused(static, dtype_name, interpret, weights, o0, h_up,
+                      d_frames):
+    """Fused residual stack: (o_out, skip_sum) = stack(o0, h_up[, d]).
 
-    static: (dils, R, S) tuple (hashable).
+    static: (dilsF, dilsA, maxd, up, R, S) tuple (hashable).  dilsA=() =
+    fixed stack only (the adaptive stack runs in XLA); non-empty dilsA
+    fuses the pitch-adaptive layers too — requires FRAME-CONSTANT d and a
+    static maxd bucket >= ceil(max d).
     weights: {"W_in": (L,2R,2R), "W_aux": (L,AUX_PAD,2R), "b_gate": (L,2R),
-              "W_out": (L,R,S+R), "b_res": (L,R)} — f32 master copies.
+              "W_out": (L,R,S+R), "b_res": (L,R)} — f32 master copies,
+    fixed layers first, adaptive after.
     o0: (B, T, R) activation after the causal layer (act dtype).
     h_up: (B, T, AUX_PAD) upsampled aux, zero-padded channels.
+    d_frames: (B, T // up) f32 frame-rate dilation factors (None when
+    dilsA is empty).
     Returns o_out (B,T,R) act dtype and skip_sum (B,T,S) f32 (without the
     constant b_skip terms — add them outside).
     """
-    out, _ = _fused_fwd(static, dtype_name, interpret, weights, o0, h_up)
+    out, _ = _fused_fwd(static, dtype_name, interpret, weights, o0, h_up,
+                        d_frames)
     return out
 
 
-def _fused_fwd(static, dtype_name, interpret, weights, o0, h_up):
-    dils, R, S = static
+def _fused_fwd(static, dtype_name, interpret, weights, o0, h_up, d_frames):
+    dilsF, dilsA, maxd, up, R, S = static
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     # weight matrices go in at compute precision: f32 master copies would
     # double the resident VMEM footprint (the kernel casts at the matmul
     # anyway); biases stay f32 (added to f32 accumulators)
     o_out, skip, oall, st = _fwd_call(
-        o0, h_up, weights["W_in"].astype(dtype),
+        o0, h_up, d_frames, weights["W_in"].astype(dtype),
         weights["W_aux"].astype(dtype), weights["b_gate"],
         weights["W_out"].astype(dtype), weights["b_res"],
-        dils=dils, R=R, S=S, TS=TILE, dtype_name=dtype_name,
-        interpret=interpret)
-    return (o_out, skip), (oall, st, h_up, weights)
+        dilsF=dilsF, dilsA=dilsA, maxd=maxd, up=up, R=R, S=S,
+        TS=tile_for(up), dtype_name=dtype_name, interpret=interpret)
+    return (o_out, skip), (oall, st, h_up, d_frames, weights)
 
 
 def _fused_bwd(static, dtype_name, interpret, residuals, cotangents):
-    dils, R, S = static
+    dilsF, dilsA, maxd, up, R, S = static
     do_out, dskip = cotangents
-    oall, st, h_up, weights = residuals
-    L = len(dils)
+    oall, st, h_up, d_frames, weights = residuals
+    nF = len(dilsF)
+    TS = tile_for(up)
     do = do_out.astype(jnp.float32)
     dh_total = jnp.zeros(h_up.shape, jnp.float32)
     dW = {k: [] for k in ("W_in", "W_aux", "b_gate", "W_out", "b_res")}
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    for start, end in reversed(choose_bwd_chunks(dils, R, S)):
+    chunks = [(s, e, ()) for s, e in choose_bwd_chunks(dilsF, R, S, TS)]
+    if dilsA:
+        chunks.append((nF, nF + len(dilsA), tuple(dilsA)))
+    for start, end, dA in reversed(chunks):
         do, dh, dWin, dWaux, dbg, dWout, dbr = _bwd_call(
             do, dskip.astype(jnp.float32),
-            oall[start:end], st[start:end], h_up,
+            oall[start:end], st[start:end], h_up, d_frames,
             weights["W_in"][start:end].astype(dtype),
             weights["W_aux"][start:end].astype(dtype),
             weights["W_out"][start:end].astype(dtype),
-            dils=tuple(dils[start:end]), R=R, S=S, TS=TILE,
+            dilsF=() if dA else tuple(dilsF[start:end]), dilsA=dA,
+            maxd=maxd, up=up, R=R, S=S, TS=TS,
             dtype_name=dtype_name, interpret=interpret)
         dh_total = dh_total + dh
         dW["W_in"].insert(0, dWin)
@@ -429,8 +616,9 @@ def _fused_bwd(static, dtype_name, interpret, residuals, cotangents):
         dW["W_out"].insert(0, dWout)
         dW["b_res"].insert(0, dbr)
     dweights = {k: jnp.concatenate(v, axis=0) for k, v in dW.items()}
+    dd = None if d_frames is None else jnp.zeros_like(d_frames)
     # cotangent dtypes must match the primals (o0/h_up are act dtype)
-    return dweights, do.astype(oall.dtype), dh_total.astype(h_up.dtype)
+    return dweights, do.astype(oall.dtype), dh_total.astype(h_up.dtype), dd
 
 
 fixed_stack_fused.defvjp(_fused_fwd, _fused_bwd)

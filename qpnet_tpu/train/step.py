@@ -58,10 +58,11 @@ def masked_ce_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def _loss_fn(params, cfg, batch, compute_dtype, remat, fixed_engine="xla"):
+def _loss_fn(params, cfg, batch, compute_dtype, remat, fixed_engine="xla",
+             maxd_bucket=None):
     logits = forward(params, cfg, batch["x"], batch["h"], batch["d"],
                      compute_dtype=compute_dtype, remat=remat,
-                     fixed_engine=fixed_engine)
+                     fixed_engine=fixed_engine, maxd_bucket=maxd_bucket)
     return masked_ce_loss(logits, batch["t"], batch["valid_len"])
 
 
@@ -95,19 +96,23 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
     if mesh is not None and fixed_engine == "auto":
         fixed_engine = "xla"
 
-    def step(state: TrainState, batch) -> tuple[TrainState, jnp.ndarray]:
-        # shapes are static under jit: resolve the engine at trace time
+    def step(state: TrainState, batch, maxd_bucket=None
+             ) -> tuple[TrainState, jnp.ndarray]:
+        # shapes are static under jit: resolve the engine at trace time.
+        # maxd_bucket (static, from the host-side batch d track) fuses the
+        # adaptive stack into the kernel; None keeps it in XLA.
         engine = resolve_fixed_engine(fixed_engine, cfg,
                                       batch["x"].shape[0],
                                       batch["x"].shape[1], compute_dtype)
         loss, grads = jax.value_and_grad(_loss_fn)(
-            state.params, cfg, batch, compute_dtype, remat, engine)
+            state.params, cfg, batch, compute_dtype, remat, engine,
+            maxd_bucket if engine == "pallas" else None)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.iterations + 1), loss
 
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,), static_argnums=(2,))
 
     repl = NamedSharding(mesh, P())
 

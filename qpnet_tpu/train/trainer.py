@@ -145,6 +145,24 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
     if mesh is not None:
         from qpnet_tpu.parallel import global_min_scalar, make_global_batch
 
+    from qpnet_tpu.train.step import resolve_fixed_engine
+    _engine = resolve_fixed_engine(
+        getattr(tcfg, "fixed_engine", "auto"), cfg, local_bs,
+        padded_shape(tcfg.max_length, cfg.upsampling_factor),
+        compute_dtype) if mesh is None else "xla"
+    if _engine == "pallas":
+        logging.info("fixed stack + adaptive stack: fused pallas fwd+bwd "
+                     "kernels (ops/train_kernel.py)")
+
+    def _maxd_bucket(d_np):
+        """Static maxd bucket for the fused adaptive kernel: the batcher's
+        d track is frame-constant by construction, so only the bucket of
+        its max changes across batches (few distinct jit keys)."""
+        if _engine != "pallas":
+            return None
+        from qpnet_tpu.models.generate import bucket_maxd
+        return int(bucket_maxd(float(np.ceil(d_np.max()))))
+
     for i in range(iterations, tcfg.iters):
         batch_np = generator.next()
         batch_np.pop("window_lens", None)  # host-side diagnostic only
@@ -154,9 +172,11 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
             # every host must mask the same loss positions
             batch["valid_len"] = jnp.asarray(
                 global_min_scalar(batch_np["valid_len"]))
+            state, loss = step_fn(state, batch)
         else:
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-        state, loss = step_fn(state, batch)
+            state, loss = step_fn(state, batch,
+                                  _maxd_bucket(batch_np["d"]))
         pending_losses.append(loss)
         logged = (i + 1) % tcfg.intervals == 0
         if logged:

@@ -205,6 +205,79 @@ def test_gradient_parity_forced_two_chunks(monkeypatch):
     assert len(calls) == len(tiny_cfg().dilationsF)
 
 
+def _loss_fused(params, cfg, batch, dtype, maxd_bucket):
+    logits = forward(params, cfg, batch["x"], batch["h"], batch["d"],
+                     compute_dtype=dtype, fixed_engine="pallas",
+                     interpret=True, maxd_bucket=maxd_bucket)
+    return masked_ce_loss(logits, batch["t"], batch["valid_len"])
+
+
+@pytest.mark.parametrize("T", [256, 192 + 32])
+def test_adaptive_fused_forward_parity_f32(T):
+    """maxd_bucket set => the adaptive stack fuses into the kernel with
+    frame-sliced gathers; must reproduce the XLA clip-gather exactly."""
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(10), cfg)
+    batch = make_batch(cfg, B=2, T=T, seed=10)
+    a = forward(params, cfg, batch["x"], batch["h"], batch["d"],
+                compute_dtype=jnp.float32, fixed_engine="xla")
+    b = forward(params, cfg, batch["x"], batch["h"], batch["d"],
+                compute_dtype=jnp.float32, fixed_engine="pallas",
+                interpret=True, maxd_bucket=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_adaptive_fused_gradient_parity_f32():
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(11), cfg)
+    batch = make_batch(cfg, B=2, T=256, seed=11)
+    la, ga = jax.value_and_grad(_loss)(params, cfg, batch,
+                                       jnp.float32, "xla")
+    lb, gb = jax.value_and_grad(_loss_fused)(params, cfg, batch,
+                                             jnp.float32, 4)
+    np.testing.assert_allclose(float(la), float(lb), rtol=2e-5)
+    for (path, va), vb in zip(jax.tree_util.tree_leaves_with_path(ga),
+                              jax.tree_util.tree_leaves(gb)):
+        name = jax.tree_util.keystr(path)
+        va, vb = np.asarray(va, np.float64), np.asarray(vb, np.float64)
+        scale = max(np.abs(va).max(), np.abs(vb).max(), 1e-8)
+        err = np.abs(va - vb).max() / scale
+        assert err < 2e-5 or np.abs(va - vb).max() < 1e-7, \
+            f"{name}: rel {err:.2e}"
+
+
+def test_adaptive_fused_large_lookback_gradient():
+    """Look-backs spanning multiple tiles (maxd*dil > TILE) exercise the
+    multi-block history rebuild + carry shifting in the backward."""
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(12), cfg)
+    rng = np.random.default_rng(12)
+    B, T = 1, 320
+    F = T // cfg.upsampling_factor
+    batch = {
+        "x": jnp.asarray(rng.integers(0, cfg.n_quantize, (B, T)), jnp.int32),
+        "h": jnp.asarray(rng.normal(size=(B, F, cfg.n_aux)), jnp.float32),
+        "t": jnp.asarray(rng.integers(0, cfg.n_quantize, (B, T)), jnp.int32),
+        # d up to ~60: r = d*dil reaches ~120 >> TILE(64)
+        "d": jnp.asarray(np.repeat(rng.uniform(30.0, 60.0, (B, F)),
+                                   cfg.upsampling_factor, axis=1)[:, :T],
+                         jnp.float32),
+        "valid_len": jnp.asarray(T // 2, jnp.int32),
+    }
+    la, ga = jax.value_and_grad(_loss)(params, cfg, batch,
+                                       jnp.float32, "xla")
+    lb, gb = jax.value_and_grad(_loss_fused)(params, cfg, batch,
+                                             jnp.float32, 64)
+    np.testing.assert_allclose(float(la), float(lb), rtol=2e-5)
+    for (path, va), vb in zip(jax.tree_util.tree_leaves_with_path(ga),
+                              jax.tree_util.tree_leaves(gb)):
+        va, vb = np.asarray(va, np.float64), np.asarray(vb, np.float64)
+        scale = max(np.abs(va).max(), np.abs(vb).max(), 1e-8)
+        assert np.abs(va - vb).max() / scale < 2e-5, \
+            jax.tree_util.keystr(path)
+
+
 def test_loss_trajectory_matches_xla():
     """A short optimization run with the fused kernel tracks the XLA step's
     loss trajectory (f32)."""
