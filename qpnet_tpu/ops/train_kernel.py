@@ -73,6 +73,59 @@ def _mm_nt(a, b, dtype):
 # forward kernel
 # ---------------------------------------------------------------------------
 
+def _d_tile_width(NFr: int) -> int:
+    return -(-NFr // 128) * 128
+
+
+def _pack_d_tiles(d_frames, nT: int, NFr: int):
+    """(B, F) frame-rate dilation factors -> (B*nT, 1, W) tile rows, W a
+    128-multiple (the SMEM block-shape rule constrains the last two block
+    dims, so batch and tile fold into the leading axis)."""
+    B = d_frames.shape[0]
+    d = d_frames[:, : nT * NFr].reshape(B * nT, 1, NFr)
+    return jnp.pad(d, ((0, 0), (0, 0), (0, _d_tile_width(NFr) - NFr)))
+
+
+RING_PAD = 16   # tail margin so aligned reads may overrun the live region
+
+
+def _aligned_read(ref, start, length, dtype):
+    """ref[start : start+length] for a DYNAMIC, unaligned start.
+
+    Mosaic requires dynamic sublane offsets to be provably 8-aligned, so:
+    read an aligned superset at 8*floor(start/8), then shift by the
+    residue m in [0,8) with a one-hot selector matmul — exact (0/1
+    weights) and a rounding error of the step's FLOPs."""
+    Lr = -(-(length + 8) // 8) * 8
+    q8 = pl.multiple_of((start // 8) * 8, 8)
+    big = ref[pl.ds(q8, Lr)]
+    m = start - q8
+    rows = jax.lax.broadcasted_iota(jnp.int32, (length, Lr), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (length, Lr), 1)
+    sel = (cols == rows + m).astype(dtype)
+    return jax.lax.dot_general(
+        sel, big.astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _aligned_add(ref, start, seg):
+    """ref[start : start+len] += seg for a dynamic unaligned start (f32
+    ref), via the transposed one-hot selector."""
+    length = seg.shape[0]
+    Lr = -(-(length + 8) // 8) * 8
+    q8 = pl.multiple_of((start // 8) * 8, 8)
+    m = start - q8
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Lr, length), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Lr, length), 1)
+    sel_t = (rows == cols + m).astype(jnp.float32)
+    add = jax.lax.dot_general(
+        sel_t, seg.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ref[pl.ds(q8, Lr)] = ref[pl.ds(q8, Lr)] + add
+
+
 def _make_fwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
                      up: int, R: int, S: int, TS: int, dtype, act):
     nF, nA = len(dilsF), len(dilsA)
@@ -138,6 +191,10 @@ def _make_fwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
 
             @pl.when(t_idx == 0)
             def _seed(ring=ring, o=o, H=H):
+                # zero everything first: the RING_PAD tail is otherwise
+                # uninitialized scratch, and 0*NaN = NaN would leak
+                # through the aligned-read selector matmul
+                ring[...] = jnp.zeros_like(ring)
                 # history below t=0 replicates the first sample — the XLA
                 # path's clip(t-r, 0) gather semantics
                 ring[0:H] = jnp.broadcast_to(o[0:1], (H, R)).astype(
@@ -146,9 +203,9 @@ def _make_fwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
             ring[H: H + TS] = o.astype(ring.dtype)
             for f in range(NFr):
                 r = jnp.clip(
-                    jnp.round(d_ref[0, f] * dil).astype(jnp.int32), 0, H)
-                past_scr[f * up: (f + 1) * up] = \
-                    ring[pl.ds(H + f * up - r, up)]
+                    jnp.round(d_ref[0, 0, f] * dil).astype(jnp.int32), 0, H)
+                past_scr[f * up: (f + 1) * up] = _aligned_read(
+                    ring, H + f * up - r, up, dtype).astype(past_scr.dtype)
             o, skip = layer_math(l, o, past_scr[...].astype(act), skip)
             ring[0:H] = ring[TS: TS + H]
         o_out_ref[0] = o
@@ -178,13 +235,17 @@ def _fwd_call(o0, h_up, d_frames, W_in, W_aux, b_gate, W_out, b_res,
     ]
     operands = [o0, h_up]
     if nA:
-        in_specs.append(pl.BlockSpec((1, NFr), lambda b, t: (b, t),
+        # frame-rate d, one 128-multiple-padded row per tile: the kernel
+        # reads NFr scalars per tile
+        in_specs.append(pl.BlockSpec((1, 1, _d_tile_width(NFr)),
+                                     lambda b, t: (b * nT + t, 0, 0),
                                      memory_space=pltpu.SMEM))
-        operands.append(d_frames)
+        operands.append(_pack_d_tiles(d_frames, nT, NFr))
     in_specs += [resident()] * 5
     operands += [W_in, W_aux, b_gate, W_out, b_res]
     scratch = [pltpu.VMEM((max(nF, 1), max(dilsF) if dilsF else 1, R), act)]
-    scratch += [pltpu.VMEM((maxd * dil + TS, R), act) for dil in dilsA]
+    scratch += [pltpu.VMEM((maxd * dil + TS + RING_PAD, R), act)
+                for dil in dilsA]
     if nA:
         scratch.append(pltpu.VMEM((TS, R), act))
     return pl.pallas_call(
@@ -261,6 +322,10 @@ def _make_bwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
             carry_dz[...] = jnp.zeros_like(carry_dz)
             for p in pendings:
                 p[...] = jnp.zeros_like(p)
+            for hh in hists:
+                # the RING_PAD tail is never overwritten by the per-tile
+                # rebuild; uninitialized NaNs would poison aligned reads
+                hh[...] = jnp.zeros_like(hh)
 
         t0 = (nT - 1 - t_rev) * TS        # absolute start of this tile
         is_earliest = t_rev == nT - 1
@@ -312,21 +377,23 @@ def _make_bwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
             for m in range(nprev):
                 hist[m * TS:(m + 1) * TS] = \
                     oprev_refs[nprev - m - 1][i, 0]
-            hist[NP:] = o
+            hist[NP: NP + TS] = o
             zoff = jnp.clip(NP - t0, 0, NP)
-            row0 = hist[pl.ds(zoff, 1)]
-            riota = jax.lax.broadcasted_iota(jnp.int32, (NP + TS, R), 0)
+            row0 = _aligned_read(hist, zoff, 1, dtype).astype(hist.dtype)
+            riota = jax.lax.broadcasted_iota(
+                jnp.int32, (NP + TS + RING_PAD, R), 0)
             hist[...] = jnp.where(riota < zoff,
-                                  jnp.broadcast_to(row0, (NP + TS, R)),
+                                  jnp.broadcast_to(
+                                      row0, (NP + TS + RING_PAD, R)),
                                   hist[...])
             rs = []
             for f in range(NFr):
                 r = jnp.clip(
-                    jnp.round(d_ref[0, f] * dil).astype(jnp.int32), 0,
-                    min(H, NP))
+                    jnp.round(d_ref[0, 0, f] * dil).astype(jnp.int32),
+                    0, min(H, NP))
                 rs.append(r)
-                past_scr[f * up:(f + 1) * up] = \
-                    hist[pl.ds(NP + f * up - r, up)]
+                past_scr[f * up:(f + 1) * up] = _aligned_read(
+                    hist, NP + f * up - r, up, dtype).astype(past_scr.dtype)
             past = past_scr[...].astype(dtype)
             dzc, dxin = layer_dz(i, o, do, dskip)
             if "nodW" not in ablate:
@@ -335,10 +402,9 @@ def _make_bwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
             # dpast back to its window, then fold the in-tile part into do
             dprev = dxin[:, R:]
             for f in range(NFr):
-                seg = pending[pl.ds(NP + f * up - rs[f], up)]
-                pending[pl.ds(NP + f * up - rs[f], up)] = \
-                    seg + dprev[f * up:(f + 1) * up]
-            do = do + dxin[:, :R] + pending[NP:]
+                _aligned_add(pending, NP + f * up - rs[f],
+                             dprev[f * up:(f + 1) * up])
+            do = do + dxin[:, :R] + pending[NP: NP + TS]
             # positions below 0 replicated the first sample: their grads
             # all fold into row 0 at the earliest tile
             extra = jnp.sum(pending[:NP], axis=0)
@@ -347,7 +413,7 @@ def _make_bwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
             do = do + jnp.where(is_earliest, head, 0.0)
             # shift the carry window one tile earlier
             pvals = pending[...]
-            pending[TS:] = pvals[:NP]
+            pending[TS: TS + NP] = pvals[:NP]
             pending[:TS] = jnp.zeros((TS, R), jnp.float32)
 
         # ---- fixed layers ----
@@ -424,9 +490,10 @@ def _bwd_call(do, dskip, oall, st, h_up, d_frames, W_in, W_aux, W_out,
     ]
     operands = [do, dskip, oall, st, h_up]
     if nA:
-        in_specs.append(pl.BlockSpec((1, NFr), lambda b, t: (b, nT - 1 - t),
+        in_specs.append(pl.BlockSpec((1, 1, _d_tile_width(NFr)),
+                                     lambda b, t: (b * nT + nT - 1 - t, 0, 0),
                                      memory_space=pltpu.SMEM))
-        operands.append(d_frames)
+        operands.append(_pack_d_tiles(d_frames, nT, NFr))
         for k in range(1, nprev + 1):
             in_specs.append(pl.BlockSpec((L, 1, TS, R), rev4_back(k)))
             operands.append(oall)
@@ -435,8 +502,9 @@ def _bwd_call(do, dskip, oall, st, h_up, d_frames, W_in, W_aux, W_out,
     NP = nprev * TS
     scratch = [pltpu.VMEM((max(nF, 1), maxdF, R), jnp.float32),
                pltpu.VMEM((max(nF, 1), maxdF, 2 * R), dtype)]
-    scratch += [pltpu.VMEM((NP + TS, R), dtype) for _ in dilsA]
-    scratch += [pltpu.VMEM((NP + TS, R), jnp.float32) for _ in dilsA]
+    scratch += [pltpu.VMEM((NP + TS + RING_PAD, R), dtype) for _ in dilsA]
+    scratch += [pltpu.VMEM((NP + TS + RING_PAD, R), jnp.float32)
+                for _ in dilsA]
     if nA:
         scratch.append(pltpu.VMEM((TS, R), dtype))
     return pl.pallas_call(
