@@ -70,8 +70,8 @@ def get_arguments(argv=None):
                              "weights, bf16 matmuls/activations)")
     parser.add_argument("--fixed_engine", default="auto", type=str,
                         choices=("auto", "pallas", "xla"),
-                        help="fixed-stack engine: auto = fused Pallas "
-                             "fwd+bwd kernel when supported")
+                        help="fixed-stack engine: auto = XLA loop; "
+                             "pallas opts into the fused kernel")
     parser.add_argument("--verbose", default=1, type=int)
     return parser.parse_args(argv)
 

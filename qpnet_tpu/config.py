@@ -161,9 +161,10 @@ class TrainConfig:
     # precision (f32 master weights/optimizer, bf16 matmuls + activations,
     # f32 skip/logit accumulation) — ~1.6x faster per step on v5e
     dtype: str = "float32"
-    # fixed-stack engine for the training step: "auto" picks the fused
-    # Pallas fwd+bwd kernel (ops/train_kernel.py) when the platform/config
-    # supports it, "xla" forces the block loop, "pallas" forces the kernel
+    # fixed-stack engine for the training step: "auto" = the XLA block
+    # loop (A/B-measured at or above the fused kernel on v5e at the
+    # reference shape, BENCH_NOTES.md round 3); "pallas" opts into the
+    # fused fwd+bwd kernel (ops/train_kernel.py, gradient-parity tested)
     fixed_engine: str = "auto"
 
 

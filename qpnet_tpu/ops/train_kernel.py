@@ -42,8 +42,13 @@ AUX_PAD = 48
 VMEM_BUDGET = 100 * 1024 * 1024  # leave headroom for Mosaic temporaries
 
 # time-tile length: big enough for MXU-efficient (TS, 2R) @ (2R, 2R)
-# matmuls, small enough that per-tile activation blocks stay modest
-TILE = 512
+# matmuls, small enough that per-tile activation blocks stay modest.
+# tile_for() rounds to the lcm(up, 8) grid, so 1024 -> 880 at the
+# 22.05 kHz up=110 — measured best on v5e (880 beat 440 by 1.3 ms
+# fwd+bwd at the reference shape; 1320 exceeds chip VMEM);
+# env-overridable for tile ablations
+import os as _os
+TILE = int(_os.environ.get("QPNET_TRAIN_TILE", "1024"))
 
 
 def _mm(a, b, dtype, out_dtype=jnp.float32):
@@ -86,46 +91,6 @@ def _pack_d_tiles(d_frames, nT: int, NFr: int):
     return jnp.pad(d, ((0, 0), (0, 0), (0, _d_tile_width(NFr) - NFr)))
 
 
-RING_PAD = 16   # tail margin so aligned reads may overrun the live region
-
-
-def _aligned_read(ref, start, length, dtype):
-    """ref[start : start+length] for a DYNAMIC, unaligned start.
-
-    Mosaic requires dynamic sublane offsets to be provably 8-aligned, so:
-    read an aligned superset at 8*floor(start/8), then shift by the
-    residue m in [0,8) with a one-hot selector matmul — exact (0/1
-    weights) and a rounding error of the step's FLOPs."""
-    Lr = -(-(length + 8) // 8) * 8
-    q8 = pl.multiple_of((start // 8) * 8, 8)
-    big = ref[pl.ds(q8, Lr)]
-    m = start - q8
-    rows = jax.lax.broadcasted_iota(jnp.int32, (length, Lr), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (length, Lr), 1)
-    sel = (cols == rows + m).astype(dtype)
-    return jax.lax.dot_general(
-        sel, big.astype(dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-
-def _aligned_add(ref, start, seg):
-    """ref[start : start+len] += seg for a dynamic unaligned start (f32
-    ref), via the transposed one-hot selector."""
-    length = seg.shape[0]
-    Lr = -(-(length + 8) // 8) * 8
-    q8 = pl.multiple_of((start // 8) * 8, 8)
-    m = start - q8
-    rows = jax.lax.broadcasted_iota(jnp.int32, (Lr, length), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (Lr, length), 1)
-    sel_t = (rows == cols + m).astype(jnp.float32)
-    add = jax.lax.dot_general(
-        sel_t, seg.astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    ref[pl.ds(q8, Lr)] = ref[pl.ds(q8, Lr)] + add
-
-
 def _make_fwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
                      up: int, R: int, S: int, TS: int, dtype, act):
     nF, nA = len(dilsF), len(dilsA)
@@ -143,7 +108,6 @@ def _make_fwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
             next(it), next(it), next(it), next(it)
         carryF = next(it)
         rings = [next(it) for _ in range(nA)]
-        past_scr = next(it) if nA else None
 
         t_idx = pl.program_id(1)
 
@@ -180,33 +144,43 @@ def _make_fwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
             carryF[l] = o[TS - maxdF:]
             o, skip = layer_math(l, o, shifted, skip)
 
+        iota_t = None
+        if nA:
+            iota_t = jax.lax.broadcasted_iota(jnp.int32, (TS, 1), 0)
+
         for j, dil in enumerate(dilsA):
             # pitch-adaptive layer: the look-back r = round(d*dil) is
             # FRAME-constant (the training d track repeats per frame), so
-            # each frame's past window is one contiguous slice of the
-            # layer's activation history ring — no per-sample gather
+            # the whole tile's gather is ONE one-hot selector matmul
+            # against the layer's activation history ring (per-frame
+            # dynamic slices pay Mosaic's alignment rules + per-call MXU
+            # overhead; one (TS, H+TS) matmul amortizes it)
             l = nF + j
             H, ring = HA[j], rings[j]
             oall_ref[l, 0] = o.astype(oall_ref.dtype)
 
             @pl.when(t_idx == 0)
             def _seed(ring=ring, o=o, H=H):
-                # zero everything first: the RING_PAD tail is otherwise
-                # uninitialized scratch, and 0*NaN = NaN would leak
-                # through the aligned-read selector matmul
-                ring[...] = jnp.zeros_like(ring)
                 # history below t=0 replicates the first sample — the XLA
                 # path's clip(t-r, 0) gather semantics
                 ring[0:H] = jnp.broadcast_to(o[0:1], (H, R)).astype(
                     ring.dtype)
 
             ring[H: H + TS] = o.astype(ring.dtype)
-            for f in range(NFr):
-                r = jnp.clip(
-                    jnp.round(d_ref[0, 0, f] * dil).astype(jnp.int32), 0, H)
-                past_scr[f * up: (f + 1) * up] = _aligned_read(
-                    ring, H + f * up - r, up, dtype).astype(past_scr.dtype)
-            o, skip = layer_math(l, o, past_scr[...].astype(act), skip)
+            # per-row look-back target: row t reads ring[H + t - r(t)]
+            rvec = jnp.concatenate([
+                jnp.full((up, 1), 0, jnp.int32) + jnp.clip(
+                    jnp.round(d_ref[0, 0, f] * dil).astype(jnp.int32),
+                    0, H)
+                for f in range(NFr)], axis=0)              # (TS, 1)
+            targets = H + iota_t - rvec                    # (TS, 1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (TS, H + TS), 1)
+            sel = (cols == targets).astype(dtype)
+            past = jax.lax.dot_general(
+                sel, ring[...].astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o, skip = layer_math(l, o, past.astype(act), skip)
             ring[0:H] = ring[TS: TS + H]
         o_out_ref[0] = o
         skip_ref[0] = skip
@@ -244,10 +218,7 @@ def _fwd_call(o0, h_up, d_frames, W_in, W_aux, b_gate, W_out, b_res,
     in_specs += [resident()] * 5
     operands += [W_in, W_aux, b_gate, W_out, b_res]
     scratch = [pltpu.VMEM((max(nF, 1), max(dilsF) if dilsF else 1, R), act)]
-    scratch += [pltpu.VMEM((maxd * dil + TS + RING_PAD, R), act)
-                for dil in dilsA]
-    if nA:
-        scratch.append(pltpu.VMEM((TS, R), act))
+    scratch += [pltpu.VMEM((maxd * dil + TS, R), act) for dil in dilsA]
     return pl.pallas_call(
         kernel,
         grid=(B, nT),
@@ -300,9 +271,7 @@ def _make_bwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
             dbr_ref = (next(it) for _ in range(7))
         carry = next(it)
         carry_dz = next(it)
-        hists = [next(it) for _ in range(nA)]
         pendings = [next(it) for _ in range(nA)]
-        past_scr = next(it) if nA else None
 
         b_idx = pl.program_id(0)
         t_rev = pl.program_id(1)          # 0 = LAST time tile
@@ -322,10 +291,6 @@ def _make_bwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
             carry_dz[...] = jnp.zeros_like(carry_dz)
             for p in pendings:
                 p[...] = jnp.zeros_like(p)
-            for hh in hists:
-                # the RING_PAD tail is never overwritten by the per-tile
-                # rebuild; uninitialized NaNs would poison aligned reads
-                hh[...] = jnp.zeros_like(hh)
 
         t0 = (nT - 1 - t_rev) * TS        # absolute start of this tile
         is_earliest = t_rev == nT - 1
@@ -366,44 +331,52 @@ def _make_bwd_kernel(dilsF: Sequence[int], dilsA: Sequence[int], maxd: int,
             return dzc, dxin
 
         # ---- adaptive layers (the chunk's tail) ----
+        if nA:
+            iota_t = jax.lax.broadcasted_iota(jnp.int32, (TS, 1), 0)
+            zoff = jnp.clip(NP - t0, 0, NP)
         for j in range(nA - 1, -1, -1):
             i = nF + j
             dil = dilsA[j]
-            H, hist, pending = HA[j], hists[j], pendings[j]
+            H, pending = HA[j], pendings[j]
             o = oall_ref[i, 0]
             # rebuild this layer's activation history [t0-NP, t0+TS) from
             # the streamed previous tiles + the current block; rows below
             # absolute 0 replicate the first sample (clip-gather semantics)
-            for m in range(nprev):
-                hist[m * TS:(m + 1) * TS] = \
-                    oprev_refs[nprev - m - 1][i, 0]
-            hist[NP: NP + TS] = o
-            zoff = jnp.clip(NP - t0, 0, NP)
-            row0 = _aligned_read(hist, zoff, 1, dtype).astype(hist.dtype)
+            hv = jnp.concatenate(
+                [oprev_refs[nprev - m - 1][i, 0] for m in range(nprev)]
+                + [o], axis=0)                              # (NP+TS, R)
+            hcols = jax.lax.broadcasted_iota(jnp.int32, (1, NP + TS), 1)
+            row0 = jax.lax.dot_general(
+                (hcols == zoff).astype(dtype), hv.astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (1, R)
             riota = jax.lax.broadcasted_iota(
-                jnp.int32, (NP + TS + RING_PAD, R), 0)
-            hist[...] = jnp.where(riota < zoff,
-                                  jnp.broadcast_to(
-                                      row0, (NP + TS + RING_PAD, R)),
-                                  hist[...])
-            rs = []
-            for f in range(NFr):
-                r = jnp.clip(
+                jnp.int32, (NP + TS, R), 0)
+            hv = jnp.where(riota < zoff,
+                           jnp.broadcast_to(row0, (NP + TS, R)).astype(
+                               hv.dtype), hv)
+            # whole-tile gather as one one-hot selector matmul: row t
+            # reads hv[NP + t - r(t)] (frame-constant r)
+            rvec = jnp.concatenate([
+                jnp.full((up, 1), 0, jnp.int32) + jnp.clip(
                     jnp.round(d_ref[0, 0, f] * dil).astype(jnp.int32),
                     0, min(H, NP))
-                rs.append(r)
-                past_scr[f * up:(f + 1) * up] = _aligned_read(
-                    hist, NP + f * up - r, up, dtype).astype(past_scr.dtype)
-            past = past_scr[...].astype(dtype)
+                for f in range(NFr)], axis=0)               # (TS, 1)
+            targets = NP + iota_t - rvec
+            cols = jax.lax.broadcasted_iota(jnp.int32, (TS, NP + TS), 1)
+            sel = (cols == targets).astype(dtype)
+            past = jax.lax.dot_general(
+                sel, hv.astype(dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype)
             dzc, dxin = layer_dz(i, o, do, dskip)
             if "nodW" not in ablate:
                 dWin_ref[i, R:] += _mm_tn(past, dzc, dtype)
-            # transpose of the frame-slice gather: scatter each frame's
-            # dpast back to its window, then fold the in-tile part into do
+            # gather transpose: sel^T @ dprev scatters every row's grad to
+            # its look-back position in one matmul
             dprev = dxin[:, R:]
-            for f in range(NFr):
-                _aligned_add(pending, NP + f * up - rs[f],
-                             dprev[f * up:(f + 1) * up])
+            pending[...] += _mm_tn(sel.astype(jnp.float32), dprev,
+                                   jnp.float32)
             do = do + dxin[:, :R] + pending[NP: NP + TS]
             # positions below 0 replicated the first sample: their grads
             # all fold into row 0 at the earliest tile
@@ -502,11 +475,7 @@ def _bwd_call(do, dskip, oall, st, h_up, d_frames, W_in, W_aux, W_out,
     NP = nprev * TS
     scratch = [pltpu.VMEM((max(nF, 1), maxdF, R), jnp.float32),
                pltpu.VMEM((max(nF, 1), maxdF, 2 * R), dtype)]
-    scratch += [pltpu.VMEM((NP + TS + RING_PAD, R), dtype) for _ in dilsA]
-    scratch += [pltpu.VMEM((NP + TS + RING_PAD, R), jnp.float32)
-                for _ in dilsA]
-    if nA:
-        scratch.append(pltpu.VMEM((TS, R), dtype))
+    scratch += [pltpu.VMEM((NP + TS, R), jnp.float32) for _ in dilsA]
     return pl.pallas_call(
         kernel,
         grid=(B, nT),

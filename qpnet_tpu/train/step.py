@@ -68,14 +68,16 @@ def _loss_fn(params, cfg, batch, compute_dtype, remat, fixed_engine="xla",
 
 def resolve_fixed_engine(fixed_engine: str, cfg: ModelConfig, B: int,
                          T: int, compute_dtype) -> str:
-    """'auto' -> the fused Pallas fixed-stack kernel when this platform /
-    config / shape supports it (ops/train_kernel.py), else the XLA block
-    loop."""
+    """'auto' -> 'xla'.  The fused Pallas fwd+bwd kernel
+    (ops/train_kernel.py) is a tested opt-in ('pallas'): interleaved
+    same-process A/B at the reference shape (B=1, T=30030, bf16, v5e)
+    measured XLA 37.3-38.2 ms vs the kernel's best 38.5-38.6 ms
+    (TS=880) — XLA's autodiff schedule of this stack is already at the
+    kernel's level, so auto keeps the engine with no extra compile cost
+    (BENCH_NOTES.md round 3)."""
     if fixed_engine != "auto":
         return fixed_engine
-    from qpnet_tpu.ops.train_kernel import fixed_stack_available
-    return "pallas" if fixed_stack_available(cfg, B, T, compute_dtype) \
-        else "xla"
+    return "xla"
 
 
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,

@@ -155,10 +155,14 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
                      "kernels (ops/train_kernel.py)")
 
     def _maxd_bucket(d_np):
-        """Static maxd bucket for the fused adaptive kernel: the batcher's
-        d track is frame-constant by construction, so only the bucket of
-        its max changes across batches (few distinct jit keys)."""
-        if _engine != "pallas":
+        """Static maxd bucket for the fully-fused (adaptive-in-kernel)
+        step.  OFF by default: on v5e the in-kernel adaptive gather lost
+        to XLA's take_along_axis in both formulations tried (per-frame
+        dynamic slices and whole-tile one-hot selector matmuls;
+        BENCH_NOTES.md round 3).  The fused path stays available
+        (gradient-parity tested) for configs where it wins; opt in with
+        QPNET_FUSE_ADAPTIVE=1."""
+        if _engine != "pallas" or not os.environ.get("QPNET_FUSE_ADAPTIVE"):
             return None
         from qpnet_tpu.models.generate import bucket_maxd
         return int(bucket_maxd(float(np.ceil(d_np.max()))))
