@@ -648,7 +648,15 @@ def _pallas_split_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
     B = h.shape[0]
     up = cfg.upsampling_factor
     chunk_steps = DECODE_CHUNK_FRAMES * up
-    fetch_depth = 2   # slices in flight before the oldest is downloaded
+    # slices in flight before the oldest is downloaded: deep enough that
+    # typical multi-slice batches (<= 8 slices = 512 utterances) dispatch
+    # completely before the first D2H fetch, so a slow fetch can never
+    # delay a dispatch, while whole-corpus decodes still cap resident
+    # device outputs at O(depth) slices (~56 MB each for 64x 10 s
+    # utterances).  (Batch >= 256 throughput is volatile on this image at
+    # ANY depth — 1.7-3.0M samples/s run to run while batch 128 holds
+    # 2.83-2.84M — so the bench default stays 128; BENCH_NOTES.md.)
+    fetch_depth = 8
     rows: List[np.ndarray] = []
     pending = []  # (is_device, out, s0, s1, slice_steps), dispatch order
 
