@@ -24,29 +24,31 @@ import numpy as np
 
 
 def latency_bench(args, cfg, params):
-    """Single-stream serving latency: steady-state wall time per
-    StreamingGenerator.feed() chunk at B=1 (includes the host<->device
-    dispatch+fetch this image's tunnel adds to every call — real serving
-    latency on this deployment, an upper bound for a locally attached
-    chip).  vs_baseline is the realtime factor: chunk audio seconds per
-    wall second (>1.0 = faster than realtime single-stream)."""
+    """Serving latency: steady-state wall time per
+    StreamingGenerator.feed() chunk at `--streams` concurrent streams
+    (includes the host<->device dispatch+fetch this image's tunnel adds
+    to every call — real serving latency on this deployment, an upper
+    bound for a locally attached chip).  vs_baseline is the PER-STREAM
+    realtime factor: chunk audio seconds per wall second (>1.0 = every
+    stream stays ahead of realtime; aggregate capacity = streams x
+    that)."""
     import time
 
     import numpy as np
 
     from qpnet_tpu.models.generate import StreamingGenerator
 
-    up = cfg.upsampling_factor
-    sess = StreamingGenerator(params, cfg, B=1, maxd=32, seed=100,
+    B = args.streams
+    sess = StreamingGenerator(params, cfg, B=B, maxd=32, seed=100,
                               mode=args.mode)
     rng = np.random.default_rng(0)
     d_val = args.fs / (args.f0 * cfg.dense_factor)
 
     def chunk_inputs():
-        h = rng.normal(size=(1, sess.chunk_frames, cfg.n_aux)
+        h = rng.normal(size=(B, sess.chunk_frames, cfg.n_aux)
                        ).astype(np.float32)
         h[:, :, 1] = args.f0
-        d = np.full((1, sess.chunk_frames), d_val, np.float32)
+        d = np.full((B, sess.chunk_frames), d_val, np.float32)
         return h, d
 
     sess.feed(*chunk_inputs())          # prime + compile
@@ -58,13 +60,13 @@ def latency_bench(args, cfg, params):
         t0 = time.perf_counter()
         out = sess.feed(h, d)
         lats.append(time.perf_counter() - t0)
-        assert out.shape == (1, sess.chunk)
+        assert out.shape == (B, sess.chunk)
     lat = float(np.median(lats))
     audio_s = sess.chunk / args.fs
     print(json.dumps({
         "metric": "streaming_chunk_latency_ms",
         "value": round(lat * 1e3, 2),
-        "unit": f"ms per {sess.chunk}-sample chunk (B=1)",
+        "unit": f"ms per {sess.chunk}-sample chunk (B={B})",
         "vs_baseline": round(audio_s / lat, 4),
     }))
 
@@ -96,10 +98,12 @@ def main():
     ap.add_argument("--network", default="default",
                     help="named network (default | Rd10Rr3Ed4Er1)")
     ap.add_argument("--latency", action="store_true",
-                    help="serving-latency mode: single-stream (B=1) "
-                         "StreamingGenerator, steady-state per-chunk wall "
-                         "latency and realtime factor instead of batch "
-                         "throughput")
+                    help="serving-latency mode: StreamingGenerator "
+                         "steady-state per-chunk wall latency and "
+                         "realtime factor instead of batch throughput")
+    ap.add_argument("--streams", type=int, default=1,
+                    help="concurrent streams (batch) in --latency mode; "
+                         "vs_baseline stays per-stream realtime factor")
     args = ap.parse_args()
     if args.quick:
         args.seconds = 0.5
