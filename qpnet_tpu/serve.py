@@ -1,0 +1,273 @@
+"""Streaming synthesis serving: batch concurrent requests into one kernel.
+
+The AR kernel's per-chunk latency is strongly sub-additive in the number
+of streams (bench.py --latency --streams on v5e: 89 ms/chunk at 1
+stream, 186 ms at 64 — one chip holds 64 realtime voice streams), so a
+production front end should BATCH concurrent utterances into one
+StreamingGenerator session rather than running one session per client.
+This module is that batching layer:
+
+  * `StreamingService.submit(h, d)` enqueues one utterance's
+    conditioning (frame-rate aux features + dilation factors, the same
+    contract as `bin/qpnet_decode`) and returns a `StreamHandle` whose
+    `chunks()` iterator yields mu-law sample chunks as the chip
+    generates them;
+  * a scheduler thread gathers requests for `gather_window_s`, groups up
+    to `max_streams` of them, pads the group's batch to a power of two
+    (so distinct jit keys stay O(log max_streams)), and streams the
+    whole group through ONE session — per-stream conditioning shorter
+    than the group's longest is padded by repeating its last frame and
+    the output is trimmed to each utterance's true length;
+  * `serve_tcp()` exposes the service over a minimal length-prefixed TCP
+    protocol (one connection per utterance, int16 PCM chunks back) for
+    clients outside the process.
+
+The reference has no serving path (decode is offline file batches,
+reference src/bin/qpnet_decode.py:120-183); the synthesis semantics here
+are exactly `StreamingGenerator`'s, which is bit-exact vs one-shot
+decoding (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import socket
+import socketserver
+import struct
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+from qpnet_tpu.config import ModelConfig
+from qpnet_tpu.models.generate import StreamingGenerator
+from qpnet_tpu.ops.mulaw import decode_mu_law
+
+
+class StreamHandle:
+    """Per-request output stream: an iterator of (n,) int32 mu-law chunks."""
+
+    def __init__(self, n_samples: int):
+        self.n_samples = n_samples
+        self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue()
+        self.error: Optional[Exception] = None
+
+    def chunks(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                if self.error is not None:
+                    raise self.error
+                return
+            yield item
+
+    def samples(self) -> np.ndarray:
+        """Convenience: block until done, return the full utterance."""
+        return np.concatenate(list(self.chunks()))
+
+
+class _Request:
+    def __init__(self, h: np.ndarray, d: np.ndarray, up: int):
+        self.h = np.asarray(h, np.float32)          # (F, n_aux)
+        self.d = np.asarray(d, np.float32)          # (F,)
+        self.handle = StreamHandle(self.h.shape[0] * up)
+
+
+class StreamingService:
+    """Batched streaming synthesis over one model.
+
+    params/cfg: the model (e.g. a converted released checkpoint).
+    max_streams: largest batch one session serves (64 = the v5e
+    VMEM-optimal kernel batch).  gather_window_s: how long the scheduler
+    waits for co-batchable requests after the first arrives — the
+    latency/throughput knob.  maxd: dilation-factor bucket; submit()
+    rejects conditioning above it (same contract as StreamingGenerator).
+    """
+
+    def __init__(self, params, cfg: ModelConfig, max_streams: int = 64,
+                 maxd: int = 32, gather_window_s: float = 0.05,
+                 mode: str = "sampling", seed: int = 100,
+                 min_chunk_samples: int = 5500, interpret: bool = False):
+        self.params, self.cfg = params, cfg
+        self.max_streams = max_streams
+        self.maxd, self.mode, self.seed = maxd, mode, seed
+        self.gather_window_s = gather_window_s
+        self.min_chunk_samples = min_chunk_samples
+        self.interpret = interpret
+        self._pending: List[_Request] = []
+        self._cv = threading.Condition()
+        self._closed = False
+        self._groups = 0
+        self._thread = threading.Thread(target=self._scheduler, daemon=True)
+        self._thread.start()
+
+    def submit(self, h: np.ndarray, d: np.ndarray) -> StreamHandle:
+        """h: (F, n_aux) standardized aux frames; d: (F,) dilation
+        factors (already F0-scaled as in qpnet_decode).  Returns the
+        output handle immediately."""
+        h = np.asarray(h, np.float32)
+        d = np.asarray(d, np.float32)
+        if h.ndim != 2 or h.shape[1] != self.cfg.n_aux:
+            raise ValueError(f"h must be (F, {self.cfg.n_aux}), "
+                             f"got {h.shape}")
+        if d.shape != (h.shape[0],):
+            raise ValueError(f"d must be ({h.shape[0]},), got {d.shape}")
+        if float(d.max(initial=0.0)) > self.maxd:
+            raise ValueError(f"dilation factor {float(d.max()):.1f} exceeds "
+                             f"the service maxd={self.maxd}")
+        req = _Request(h, d, self.cfg.upsampling_factor)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._pending.append(req)
+            self._cv.notify()
+        return req.handle
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._thread.join()
+
+    # ---- scheduler ----
+
+    def _take_group(self) -> Optional[List[_Request]]:
+        with self._cv:
+            while not self._pending and not self._closed:
+                self._cv.wait()
+            if not self._pending:
+                return None
+            # gather window: let co-batchable requests arrive (skipped
+            # when closing — drain immediately)
+            if not self._closed:
+                self._cv.wait_for(
+                    lambda: len(self._pending) >= self.max_streams
+                    or self._closed,
+                    timeout=self.gather_window_s)
+            group = self._pending[: self.max_streams]
+            del self._pending[: len(group)]
+            return group
+
+    def _scheduler(self):
+        while True:
+            group = self._take_group()
+            if group is None:
+                return
+            try:
+                self._run_group(group)
+            except Exception as e:  # noqa: BLE001 — report to all clients
+                logging.exception("stream group failed")
+                for req in group:
+                    req.handle.error = e
+                    req.handle._q.put(None)
+
+    def _run_group(self, group: List[_Request]):
+        cfg = self.cfg
+        up = cfg.upsampling_factor
+        B_real = len(group)
+        B = 1 << (B_real - 1).bit_length()          # pow2 bucket: few jit keys
+        sess = StreamingGenerator(
+            self.params, cfg, B=B, maxd=self.maxd,
+            seed=self.seed + self._groups, mode=self.mode,
+            min_chunk_samples=self.min_chunk_samples,
+            interpret=self.interpret)
+        self._groups += 1
+        Fc = sess.chunk_frames
+        F_max = max(r.h.shape[0] for r in group)
+        n_chunks = -(-F_max // Fc)
+        done = [0] * B_real                          # samples emitted so far
+        for c in range(n_chunks):
+            h_blk = np.zeros((B, Fc, cfg.n_aux), np.float32)
+            d_blk = np.ones((B, Fc), np.float32)
+            for i, r in enumerate(group):
+                sl = r.h[c * Fc: (c + 1) * Fc]
+                h_blk[i, : len(sl)] = sl
+                d_blk[i, : len(sl)] = r.d[c * Fc: (c + 1) * Fc]
+                if len(sl) < Fc and len(sl) > 0:
+                    h_blk[i, len(sl):] = sl[-1]      # repeat-last padding
+                    d_blk[i, len(sl):] = r.d[c * Fc + len(sl) - 1]
+                elif len(sl) == 0:                   # stream already done
+                    h_blk[i] = r.h[-1]
+                    d_blk[i] = r.d[-1]
+            out = sess.feed(h_blk, d_blk)            # (B, chunk) int32
+            for i, r in enumerate(group):
+                take = min(r.handle.n_samples - done[i], out.shape[1])
+                if take > 0:
+                    r.handle._q.put(out[i, :take].copy())
+                    done[i] += take
+        for r in group:
+            r.handle._q.put(None)
+
+
+# ---------------------------------------------------------------------------
+# TCP transport
+# ---------------------------------------------------------------------------
+#
+# Wire protocol (one utterance per connection):
+#   client -> server: one JSON line {"frames": F} + F*n_aux f32 (h) +
+#                     F f32 (d), little-endian
+#   server -> client: repeated [u32 n][n x int16 PCM]; n=0 terminates
+#                     (or a JSON line {"error": ...} before any chunk)
+
+
+def _read_exact(rfile, n: int) -> bytes:
+    """Exact read through the handler's BUFFERED rfile (the header
+    readline may already hold payload bytes in its buffer, so reading
+    the raw socket here would deadlock)."""
+    buf = rfile.read(n)
+    if len(buf) != n:
+        raise ConnectionError("client closed mid-message")
+    return buf
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        svc: StreamingService = self.server.service  # type: ignore[attr-defined]
+        cfg = svc.cfg
+        try:
+            header = json.loads(self.rfile.readline())
+            F = int(header["frames"])
+            h = np.frombuffer(
+                _read_exact(self.rfile, 4 * F * cfg.n_aux),
+                "<f4").reshape(F, cfg.n_aux)
+            d = np.frombuffer(_read_exact(self.rfile, 4 * F), "<f4")
+            handle = svc.submit(h, d)
+        except Exception as e:  # noqa: BLE001
+            try:
+                self.wfile.write(
+                    (json.dumps({"error": str(e)}) + "\n").encode())
+            except OSError:
+                pass                                 # client already gone
+            return
+        try:
+            for chunk in handle.chunks():
+                pcm = np.clip(decode_mu_law(chunk, cfg.n_quantize) * 32768,
+                              -32768, 32767).astype("<i2")
+                self.wfile.write(struct.pack("<I", len(pcm)) + pcm.tobytes())
+            self.wfile.write(struct.pack("<I", 0))
+        except OSError:
+            # Client hung up mid-stream: drain the handle (the scheduler
+            # keeps feeding its queue regardless) and exit quietly.
+            for _ in handle.chunks():
+                pass
+
+
+class StreamServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, service: StreamingService, host: str = "127.0.0.1",
+                 port: int = 0):
+        super().__init__((host, port), _Handler)
+        self.service = service
+
+
+def serve_tcp(service: StreamingService, host: str = "127.0.0.1",
+              port: int = 8765) -> StreamServer:
+    """Start the TCP front end in a daemon thread; returns the server
+    (use .server_address for the bound port, .shutdown() to stop)."""
+    srv = StreamServer(service, host, port)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
