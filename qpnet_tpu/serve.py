@@ -39,6 +39,8 @@ import struct
 import threading
 from typing import List, Optional
 
+from typing import Callable, Tuple
+
 import numpy as np
 
 from qpnet_tpu.config import ModelConfig
@@ -89,8 +91,11 @@ class StreamingService:
     def __init__(self, params, cfg: ModelConfig, max_streams: int = 64,
                  maxd: int = 32, gather_window_s: float = 0.05,
                  mode: str = "sampling", seed: int = 100,
-                 min_chunk_samples: int = 5500, interpret: bool = False):
+                 min_chunk_samples: int = 5500, interpret: bool = False,
+                 frontend: Optional[Callable[
+                     [np.ndarray], Tuple[np.ndarray, np.ndarray]]] = None):
         self.params, self.cfg = params, cfg
+        self.frontend = frontend
         self.max_streams = max_streams
         self.maxd, self.mode, self.seed = maxd, mode, seed
         self.gather_window_s = gather_window_s
@@ -124,6 +129,18 @@ class StreamingService:
             self._pending.append(req)
             self._cv.notify()
         return req.handle
+
+    def submit_raw(self, feats: np.ndarray) -> StreamHandle:
+        """Submit UNSTANDARDIZED aux features (F, n_aux) — the h5 contract
+        of `bin/qpnet_decode`.  The service's `frontend` (e.g. built by
+        `bin/qpnet_serve` from the corpus stats + dilation config) maps
+        them to (standardized h, frame-rate d)."""
+        if self.frontend is None:
+            raise RuntimeError(
+                "service has no feature frontend; construct it with "
+                "frontend= or submit standardized (h, d) via submit()")
+        h, d = self.frontend(np.asarray(feats, np.float64))
+        return self.submit(h, d)
 
     def close(self):
         with self._cv:
@@ -207,9 +224,18 @@ class StreamingService:
 #
 # Wire protocol (one utterance per connection):
 #   client -> server: one JSON line {"frames": F} + F*n_aux f32 (h) +
-#                     F f32 (d), little-endian
-#   server -> client: repeated [u32 n][n x int16 PCM]; n=0 terminates
-#                     (or a JSON line {"error": ...} before any chunk)
+#                     F f32 (d), little-endian.  With {"frames": F,
+#                     "raw": true} the payload is just F*n_aux f32 of
+#                     UNSTANDARDIZED aux features and the server's
+#                     frontend derives (h, d) — the qpnet_decode h5
+#                     contract over the wire.
+#   server -> client: repeated [u32 n][n x int16 PCM]; n=0 terminates.
+#                     On a rejected request the server sends the
+#                     sentinel u32 0xFFFFFFFF followed by one JSON line
+#                     {"error": ...} instead of any chunk.
+
+
+_ERR_SENTINEL = 0xFFFFFFFF
 
 
 def _read_exact(rfile, n: int) -> bytes:
@@ -229,15 +255,19 @@ class _Handler(socketserver.StreamRequestHandler):
         try:
             header = json.loads(self.rfile.readline())
             F = int(header["frames"])
-            h = np.frombuffer(
+            feats = np.frombuffer(
                 _read_exact(self.rfile, 4 * F * cfg.n_aux),
                 "<f4").reshape(F, cfg.n_aux)
-            d = np.frombuffer(_read_exact(self.rfile, 4 * F), "<f4")
-            handle = svc.submit(h, d)
+            if header.get("raw"):
+                handle = svc.submit_raw(feats)
+            else:
+                d = np.frombuffer(_read_exact(self.rfile, 4 * F), "<f4")
+                handle = svc.submit(feats, d)
         except Exception as e:  # noqa: BLE001
             try:
                 self.wfile.write(
-                    (json.dumps({"error": str(e)}) + "\n").encode())
+                    struct.pack("<I", _ERR_SENTINEL)
+                    + (json.dumps({"error": str(e)}) + "\n").encode())
             except OSError:
                 pass                                 # client already gone
             return
@@ -271,3 +301,29 @@ def serve_tcp(service: StreamingService, host: str = "127.0.0.1",
     srv = StreamServer(service, host, port)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv
+
+
+def request_stream(address, h: np.ndarray, d: Optional[np.ndarray] = None):
+    """Client helper: send one utterance, yield int16 PCM chunks.
+
+    With `d` given, `h` is standardized conditioning (the submit()
+    contract); without, `h` is raw aux features sent with "raw": true
+    for the server frontend.  Raises RuntimeError on a server-side
+    rejection."""
+    h = np.ascontiguousarray(h, "<f4")
+    header = {"frames": int(h.shape[0])}
+    payload = h.tobytes()
+    if d is None:
+        header["raw"] = True
+    else:
+        payload += np.ascontiguousarray(d, "<f4").tobytes()
+    with socket.create_connection(address) as s:
+        s.sendall(json.dumps(header).encode() + b"\n" + payload)
+        rfile = s.makefile("rb")
+        while True:
+            n = struct.unpack("<I", rfile.read(4))[0]
+            if n == _ERR_SENTINEL:
+                raise RuntimeError(json.loads(rfile.readline())["error"])
+            if n == 0:
+                return
+            yield np.frombuffer(rfile.read(2 * n), "<i2")

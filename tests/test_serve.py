@@ -5,6 +5,8 @@ its own length, and survive the TCP transport round trip."""
 import json
 import socket
 import struct
+import threading
+import time
 
 import jax
 import numpy as np
@@ -14,7 +16,7 @@ from qpnet_tpu.config import ModelConfig
 from qpnet_tpu.models import init_params
 from qpnet_tpu.models.generate import StreamingGenerator
 from qpnet_tpu.ops.mulaw import decode_mu_law
-from qpnet_tpu.serve import StreamingService, serve_tcp
+from qpnet_tpu.serve import StreamingService, request_stream, serve_tcp
 
 
 def tiny_cfg():
@@ -102,6 +104,122 @@ def test_submit_validation(model):
                        np.full(5, 99.0, np.float32))
     finally:
         svc.close()
+
+
+def test_request_stream_helper_and_error_sentinel(model):
+    cfg, params = model
+    svc = make_service(cfg, params)
+    srv = serve_tcp(svc, port=0)
+    try:
+        rng = np.random.default_rng(4)
+        F = 8
+        h = rng.normal(size=(F, cfg.n_aux)).astype(np.float32)
+        d = np.full(F, 2.0, np.float32)
+        pcm = np.concatenate(list(request_stream(srv.server_address, h, d)))
+        assert pcm.shape == (F * cfg.upsampling_factor,)
+        assert pcm.dtype == np.int16
+        # maxd violation surfaces as RuntimeError via the 0xFFFFFFFF
+        # sentinel, never as a garbled chunk
+        with pytest.raises(RuntimeError, match="exceeds"):
+            list(request_stream(srv.server_address, h,
+                                np.full(F, 99.0, np.float32)))
+    finally:
+        srv.shutdown()
+        svc.close()
+
+
+def test_raw_frontend_matches_manual_conditioning(model):
+    """'raw': true over the wire == frontend applied client-side +
+    standardized submit (same bytes out)."""
+    cfg, params = model
+    from qpnet_tpu.bin.qpnet_serve import make_frontend
+    from qpnet_tpu.data.stats import Scaler
+
+    rng = np.random.default_rng(5)
+    mean = rng.normal(size=cfg.n_aux)
+    scale = rng.uniform(0.5, 2.0, cfg.n_aux)
+    scaler = Scaler.from_stats(mean, scale)
+
+    class A:  # the argparse surface make_frontend reads
+        f0_dim_index, f0_factor, fs = 1, 1.0, 1000
+
+    class C:
+        dense_factor = 4
+
+    frontend = make_frontend(scaler, A, C)
+    svc = make_service(cfg, params, frontend=frontend)
+    srv = serve_tcp(svc, port=0)
+    try:
+        F = 12
+        feats = np.abs(rng.normal(size=(F, cfg.n_aux))) + 0.1
+        feats[:, 1] = rng.uniform(80.0, 200.0, F)      # d = fs/(f0*4) < 4
+        got = np.concatenate(
+            list(request_stream(srv.server_address, feats)))
+        h, d = frontend(feats)
+        assert d.max() <= svc.maxd                     # fixture sanity
+        want_mu = svc.submit(h, d).samples()
+        want = np.clip(decode_mu_law(want_mu, cfg.n_quantize) * 32768,
+                       -32768, 32767).astype(np.int16)
+        np.testing.assert_array_equal(got, want)
+    finally:
+        srv.shutdown()
+        svc.close()
+
+
+def test_submit_raw_without_frontend_rejected(model):
+    cfg, params = model
+    svc = make_service(cfg, params)
+    try:
+        with pytest.raises(RuntimeError, match="frontend"):
+            svc.submit_raw(np.zeros((5, cfg.n_aux)))
+    finally:
+        svc.close()
+
+
+def test_qpnet_serve_cli(model, tmp_path):
+    """The CLI worker end to end: checkpoint + stats + model.conf on
+    disk -> server process wiring -> raw-mode client round trip."""
+    from qpnet_tpu.bin import qpnet_serve
+    from qpnet_tpu.config import RunConfig
+    from qpnet_tpu.data.h5io import write_hdf5
+    from qpnet_tpu.train.checkpoint import save_final
+
+    cfg, params = model
+    save_final(str(tmp_path), params)
+    run_cfg = RunConfig(model=cfg, fs=1000)
+    conf = str(tmp_path / "model.conf")
+    run_cfg.save(conf)
+    stats = str(tmp_path / "stats.h5")
+    write_hdf5(stats, "/world/mean", np.zeros(cfg.n_aux))
+    write_hdf5(stats, "/world/scale", np.ones(cfg.n_aux))
+
+    with socket.socket() as probe:                    # find a free port
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+    srv_thread = threading.Thread(target=qpnet_serve.main, daemon=True, args=([
+        "--config", conf, "--stats", stats,
+        "--checkpoint", str(tmp_path / "checkpoint-final.pkl"),
+        "--host", "127.0.0.1", "--port", str(port),
+        "--fs", "1000", "--maxd", "4", "--max_streams", "2",
+        "--chunk_samples", "40", "--mode", "argmax",
+        "--gather_window_ms", "20", "--interpret", "--verbose", "0"],))
+    srv_thread.start()
+    F = 9
+    rng = np.random.default_rng(6)
+    feats = np.abs(rng.normal(size=(F, cfg.n_aux))) + 0.1
+    feats[:, 1] = 60.0                                # F0 -> d well < maxd
+    deadline = time.time() + 30
+    while True:                                       # wait for the bind
+        try:
+            pcm = np.concatenate(
+                list(request_stream(("127.0.0.1", port), feats)))
+            break
+        except ConnectionRefusedError:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.2)
+    assert pcm.shape == (F * cfg.upsampling_factor,)
+    assert pcm.dtype == np.int16
 
 
 def test_tcp_roundtrip(model):
