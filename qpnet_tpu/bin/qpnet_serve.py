@@ -56,6 +56,11 @@ def get_arguments(argv=None):
                              "22.05 kHz)")
     parser.add_argument("--mode", default="sampling",
                         choices=["sampling", "argmax"])
+    parser.add_argument("--quantize", default="none",
+                        choices=["none", "w8a8"],
+                        help="w8a8 halves resident weight VMEM — required "
+                             "to serve the deep Rd10Rr3Ed4Er1 network "
+                             "(same tradeoff as qpnet_decode)")
     parser.add_argument("--seed", default=100, type=int)
     parser.add_argument("--verbose", default=1, type=int)
     parser.add_argument("--interpret", default=False,
@@ -105,7 +110,7 @@ def main(argv=None):
         gather_window_s=args.gather_window_ms / 1000.0,
         mode=args.mode, seed=args.seed,
         min_chunk_samples=args.chunk_samples,
-        interpret=args.interpret,
+        interpret=args.interpret, quantize=args.quantize,
         frontend=make_frontend(scaler, args, cfg))
     server = StreamServer(service, args.host, args.port)
     logging.info("serving on %s:%d (max %d streams/session, %d-sample "

@@ -992,11 +992,16 @@ class StreamingGenerator:
 
     def __init__(self, params: Params, cfg: ModelConfig, B: int,
                  maxd: int = 32, seed: int = 100, mode: str = "sampling",
-                 min_chunk_samples: int = 5500, interpret: bool = False):
+                 min_chunk_samples: int = 5500, interpret: bool = False,
+                 quantize: str = "none"):
         from qpnet_tpu.ops.gen_kernel import AUX_PAD, pack_weights
         self.cfg, self.B, self.maxd = cfg, B, maxd
         self.seed, self.mode = seed, mode
         self.interpret = interpret
+        # "w8a8" halves resident weight VMEM — required to stream the
+        # deep Rd10Rr3Ed4Er1 network, whose bf16 weights do not fit
+        # (same tradeoff as bin/qpnet_decode --quantize w8a8)
+        self.quantize = quantize
         up = cfg.upsampling_factor
         # the kernel's ring slots / upsampler phase / PRNG key off the
         # ABSOLUTE sample index (step_offset), so any whole-frame chunk
@@ -1004,7 +1009,7 @@ class StreamingGenerator:
         self.chunk = -(-min_chunk_samples // up) * up
         self.chunk_frames = self.chunk // up
         self.aux_pad = AUX_PAD
-        self._packed = pack_weights(params, cfg)
+        self._packed = pack_weights(params, cfg, quantize=quantize)
         self._params = params
         self._state = None
         self._offset = 0
@@ -1053,7 +1058,7 @@ class StreamingGenerator:
             jnp.asarray(h_pad, jnp.bfloat16), jnp.asarray(d_pad),
             self.seed, B=B, maxd=self.maxd, n_steps=self.chunk,
             mode=self.mode, interpret=self.interpret,
-            step_offset=self._offset)
+            quantize=self.quantize, step_offset=self._offset)
         self._state = (bufF, bufA, x0)
         self._offset += self.chunk
         return np.moveaxis(np.asarray(jax.device_get(samples))[:, 0, :],

@@ -92,10 +92,12 @@ class StreamingService:
                  maxd: int = 32, gather_window_s: float = 0.05,
                  mode: str = "sampling", seed: int = 100,
                  min_chunk_samples: int = 5500, interpret: bool = False,
+                 quantize: str = "none",
                  frontend: Optional[Callable[
                      [np.ndarray], Tuple[np.ndarray, np.ndarray]]] = None):
         self.params, self.cfg = params, cfg
         self.frontend = frontend
+        self.quantize = quantize
         self.max_streams = max_streams
         self.maxd, self.mode, self.seed = maxd, mode, seed
         self.gather_window_s = gather_window_s
@@ -189,7 +191,7 @@ class StreamingService:
             self.params, cfg, B=B, maxd=self.maxd,
             seed=self.seed + self._groups, mode=self.mode,
             min_chunk_samples=self.min_chunk_samples,
-            interpret=self.interpret)
+            interpret=self.interpret, quantize=self.quantize)
         self._groups += 1
         Fc = sess.chunk_frames
         F_max = max(r.h.shape[0] for r in group)

@@ -48,6 +48,39 @@ def test_streaming_matches_one_shot():
     np.testing.assert_array_equal(streamed, one_shot)
 
 
+@pytest.mark.slow
+def test_streaming_w8a8_matches_one_shot_w8a8():
+    """The deep released network only streams via --quantize w8a8 (bf16
+    weights exceed VMEM); the quantized streaming session must carry ring
+    state exactly like the bf16 one — chunked w8a8 == one-shot w8a8."""
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    B, maxd = 2, 4
+    sess = StreamingGenerator(params, cfg, B, maxd=maxd, mode="argmax",
+                              min_chunk_samples=40, interpret=True,
+                              quantize="w8a8")
+    F_chunk = sess.chunk_frames
+    n_chunks = 2
+    F = F_chunk * n_chunks
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.full((B, F), 2.2, np.float32)
+
+    streamed = np.concatenate(
+        [sess.feed(h[:, c * F_chunk:(c + 1) * F_chunk],
+                   d[:, c * F_chunk:(c + 1) * F_chunk])
+         for c in range(n_chunks)], axis=1)
+
+    rf = cfg.receptiveF + cfg.receptiveA * maxd + cfg.receptive_causal
+    x_seed = np.full((B, rf + 1), cfg.n_quantize // 2, np.int32)
+    d_samples = np.repeat(d, cfg.upsampling_factor, axis=1)
+    one_shot = _pallas_path(params, cfg, x_seed, h, d_samples,
+                            n_steps=F * cfg.upsampling_factor,
+                            maxd=maxd, seed=100, mode="argmax",
+                            interpret=True, quantize="w8a8")
+    np.testing.assert_array_equal(streamed, one_shot)
+
+
 def test_chunked_decode_path_matches_one_shot(monkeypatch):
     """Long utterances decode as full chunks + a bucketed tail with carried
     ring state; the result must be bit-identical to the one-shot kernel
