@@ -47,6 +47,11 @@ def get_arguments(argv=None):
     parser.add_argument("--max_streams", default=64, type=int,
                         help="largest concurrent batch one session "
                              "serves (64 = v5e VMEM-optimal)")
+    parser.add_argument("--n_devices", default=1, type=int,
+                        help="spread request groups over this many chips "
+                             "(one pinned session pool per chip); "
+                             "capacity scales to n_devices * max_streams "
+                             "concurrent realtime streams")
     parser.add_argument("--gather_window_ms", default=50.0, type=float,
                         help="how long to wait for co-batchable requests "
                              "after the first arrives")
@@ -105,13 +110,22 @@ def main(argv=None):
     params = jax.tree_util.tree_map(jnp.asarray, ckpt["model"])
     scaler = load_scaler(args.stats, run_cfg.feature_type)
 
+    devices = None
+    if args.n_devices > 1:
+        devices = jax.devices()[: args.n_devices]
+        if len(devices) < args.n_devices:
+            raise SystemExit(
+                f"--n_devices {args.n_devices} > available "
+                f"{len(jax.devices())}")
+        logging.info("serving over %d devices", len(devices))
+
     service = StreamingService(
         params, cfg, max_streams=args.max_streams, maxd=args.maxd,
         gather_window_s=args.gather_window_ms / 1000.0,
         mode=args.mode, seed=args.seed,
         min_chunk_samples=args.chunk_samples,
         interpret=args.interpret, quantize=args.quantize,
-        frontend=make_frontend(scaler, args, cfg))
+        frontend=make_frontend(scaler, args, cfg), devices=devices)
     server = StreamServer(service, args.host, args.port)
     logging.info("serving on %s:%d (max %d streams/session, %d-sample "
                  "chunks)", *server.server_address[:2], args.max_streams,

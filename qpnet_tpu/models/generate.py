@@ -993,7 +993,7 @@ class StreamingGenerator:
     def __init__(self, params: Params, cfg: ModelConfig, B: int,
                  maxd: int = 32, seed: int = 100, mode: str = "sampling",
                  min_chunk_samples: int = 5500, interpret: bool = False,
-                 quantize: str = "none"):
+                 quantize: str = "none", device=None):
         from qpnet_tpu.ops.gen_kernel import AUX_PAD, pack_weights
         self.cfg, self.B, self.maxd = cfg, B, maxd
         self.seed, self.mode = seed, mode
@@ -1002,6 +1002,10 @@ class StreamingGenerator:
         # deep Rd10Rr3Ed4Er1 network, whose bf16 weights do not fit
         # (same tradeoff as bin/qpnet_decode --quantize w8a8)
         self.quantize = quantize
+        # pin the session to one chip: weight packing, priming and every
+        # feed() run under jax.default_device(device), so N sessions on N
+        # chips stream concurrently (serve.py's device pool)
+        self._device = device
         up = cfg.upsampling_factor
         # the kernel's ring slots / upsampler phase / PRNG key off the
         # ABSOLUTE sample index (step_offset), so any whole-frame chunk
@@ -1009,8 +1013,26 @@ class StreamingGenerator:
         self.chunk = -(-min_chunk_samples // up) * up
         self.chunk_frames = self.chunk // up
         self.aux_pad = AUX_PAD
-        self._packed = pack_weights(params, cfg, quantize=quantize)
+        with self._on_device():
+            self._packed = pack_weights(params, cfg, quantize=quantize)
         self._params = params
+        self._state = None
+        self._offset = 0
+
+    def _on_device(self):
+        import contextlib
+        if self._device is None:
+            return contextlib.nullcontext()
+        return jax.default_device(self._device)
+
+    def reset(self, seed: int = None) -> None:
+        """Start a new utterance (group): drop the carried ring state and
+        restart the absolute step counter, keeping the packed weights and
+        compiled kernel (seed/offset are traced operands — no recompile).
+        Lets a serving pool reuse one session across groups instead of
+        re-packing weights per request."""
+        if seed is not None:
+            self.seed = seed
         self._state = None
         self._offset = 0
 
@@ -1046,19 +1068,20 @@ class StreamingGenerator:
                 f"dilation factor {float(np.max(d_frames)):.1f} exceeds the "
                 f"session's maxd={self.maxd}; recreate the session with a "
                 f"larger maxd (ring look-backs would silently saturate)")
-        if self._state is None:
-            self._prime(np.asarray(h_frames[:, 0], np.float32))
         h_pad = np.zeros((self.chunk_frames, B, self.aux_pad), np.float32)
         h_pad[:, :, : cfg.n_aux] = np.moveaxis(h_frames, 0, 1)
         d_pad = np.moveaxis(
             np.asarray(d_frames, np.float32), 0, 1)[:, None, :]
-        bufF, bufA, x0 = self._state
-        samples, bufF, bufA, x0 = pallas_generate(
-            self._packed, cfg, bufF, bufA, x0,
-            jnp.asarray(h_pad, jnp.bfloat16), jnp.asarray(d_pad),
-            self.seed, B=B, maxd=self.maxd, n_steps=self.chunk,
-            mode=self.mode, interpret=self.interpret,
-            quantize=self.quantize, step_offset=self._offset)
+        with self._on_device():
+            if self._state is None:
+                self._prime(np.asarray(h_frames[:, 0], np.float32))
+            bufF, bufA, x0 = self._state
+            samples, bufF, bufA, x0 = pallas_generate(
+                self._packed, cfg, bufF, bufA, x0,
+                jnp.asarray(h_pad, jnp.bfloat16), jnp.asarray(d_pad),
+                self.seed, B=B, maxd=self.maxd, n_steps=self.chunk,
+                mode=self.mode, interpret=self.interpret,
+                quantize=self.quantize, step_offset=self._offset)
         self._state = (bufF, bufA, x0)
         self._offset += self.chunk
         return np.moveaxis(np.asarray(jax.device_get(samples))[:, 0, :],

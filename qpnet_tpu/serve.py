@@ -86,6 +86,9 @@ class StreamingService:
     waits for co-batchable requests after the first arrives — the
     latency/throughput knob.  maxd: dilation-factor bucket; submit()
     rejects conditioning above it (same contract as StreamingGenerator).
+    devices: chips to spread groups over (e.g. jax.devices()); each gets
+    its own scheduler worker with sessions pinned to it, multiplying
+    capacity by len(devices).  None = one worker on the default device.
     """
 
     def __init__(self, params, cfg: ModelConfig, max_streams: int = 64,
@@ -94,7 +97,8 @@ class StreamingService:
                  min_chunk_samples: int = 5500, interpret: bool = False,
                  quantize: str = "none",
                  frontend: Optional[Callable[
-                     [np.ndarray], Tuple[np.ndarray, np.ndarray]]] = None):
+                     [np.ndarray], Tuple[np.ndarray, np.ndarray]]] = None,
+                 devices: Optional[List] = None):
         self.params, self.cfg = params, cfg
         self.frontend = frontend
         self.quantize = quantize
@@ -107,8 +111,15 @@ class StreamingService:
         self._cv = threading.Condition()
         self._closed = False
         self._groups = 0
-        self._thread = threading.Thread(target=self._scheduler, daemon=True)
-        self._thread.start()
+        # one scheduler worker per chip: each pins its sessions to its
+        # device (StreamingGenerator device=), so a pod slice serves
+        # len(devices) groups concurrently off one shared request queue
+        self._threads = [
+            threading.Thread(target=self._scheduler, args=(dev,),
+                             daemon=True)
+            for dev in (devices if devices else [None])]
+        for t in self._threads:
+            t.start()
 
     def submit(self, h: np.ndarray, d: np.ndarray) -> StreamHandle:
         """h: (F, n_aux) standardized aux frames; d: (F,) dilation
@@ -147,8 +158,9 @@ class StreamingService:
     def close(self):
         with self._cv:
             self._closed = True
-            self._cv.notify()
-        self._thread.join()
+            self._cv.notify_all()
+        for t in self._threads:
+            t.join()
 
     # ---- scheduler ----
 
@@ -169,30 +181,41 @@ class StreamingService:
             del self._pending[: len(group)]
             return group
 
-    def _scheduler(self):
+    def _scheduler(self, device):
+        sessions = {}                                # B -> pinned session
         while True:
             group = self._take_group()
             if group is None:
                 return
             try:
-                self._run_group(group)
+                self._run_group(group, sessions, device)
             except Exception as e:  # noqa: BLE001 — report to all clients
                 logging.exception("stream group failed")
                 for req in group:
                     req.handle.error = e
                     req.handle._q.put(None)
 
-    def _run_group(self, group: List[_Request]):
+    def _run_group(self, group: List[_Request], sessions, device):
         cfg = self.cfg
         up = cfg.upsampling_factor
         B_real = len(group)
         B = 1 << (B_real - 1).bit_length()          # pow2 bucket: few jit keys
-        sess = StreamingGenerator(
-            self.params, cfg, B=B, maxd=self.maxd,
-            seed=self.seed + self._groups, mode=self.mode,
-            min_chunk_samples=self.min_chunk_samples,
-            interpret=self.interpret, quantize=self.quantize)
-        self._groups += 1
+        with self._cv:
+            gidx = self._groups
+            self._groups += 1
+        sess = sessions.get(B)
+        if sess is None:
+            sess = StreamingGenerator(
+                self.params, cfg, B=B, maxd=self.maxd,
+                seed=self.seed + gidx, mode=self.mode,
+                min_chunk_samples=self.min_chunk_samples,
+                interpret=self.interpret, quantize=self.quantize,
+                device=device)
+            sessions[B] = sess
+        else:
+            # reuse the packed weights + compiled kernel; fresh ring
+            # state and a per-group seed (traced — no recompile)
+            sess.reset(seed=self.seed + gidx)
         Fc = sess.chunk_frames
         F_max = max(r.h.shape[0] for r in group)
         n_chunks = -(-F_max // Fc)

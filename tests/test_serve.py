@@ -166,6 +166,64 @@ def test_raw_frontend_matches_manual_conditioning(model):
         svc.close()
 
 
+def test_session_reuse_across_groups_matches_fresh_session(model):
+    """The scheduler caches one session per (device, B) and reset()s it
+    between groups: group N on a reused session must equal group N on a
+    freshly built one (ring state fully cleared, per-group seed applied)."""
+    cfg, params = model
+    svc = make_service(cfg, params, max_streams=2)
+    try:
+        rng = np.random.default_rng(7)
+        Fc = StreamingGenerator(params, cfg, B=2, maxd=4,
+                                min_chunk_samples=40,
+                                interpret=True).chunk_frames
+        h = rng.normal(size=(2, 2, Fc, cfg.n_aux)).astype(np.float32)
+        d = rng.uniform(1.0, 3.5, (2, 2, Fc)).astype(np.float32)
+        outs = []
+        for g in range(2):                    # two sequential full groups
+            handles = [svc.submit(h[g, i], d[g, i]) for i in range(2)]
+            outs.append([hd.samples() for hd in handles])
+        # each group == a fresh direct session on the same conditioning
+        for g in range(2):
+            sess = StreamingGenerator(params, cfg, B=2, maxd=4,
+                                      mode="argmax", min_chunk_samples=40,
+                                      interpret=True)
+            want = sess.feed(h[g], d[g])
+            for i in range(2):
+                np.testing.assert_array_equal(outs[g][i], want[i])
+    finally:
+        svc.close()
+
+
+def test_device_pool_spreads_groups(model):
+    """devices=2 virtual chips: two full groups run on distinct pinned
+    sessions; every stream's output equals the single-device result."""
+    cfg, params = model
+    devs = jax.devices()[:2]
+    assert len(devs) == 2                      # conftest forces 8 CPU devs
+    svc = make_service(cfg, params, max_streams=2, devices=devs)
+    try:
+        rng = np.random.default_rng(8)
+        Fc = StreamingGenerator(params, cfg, B=2, maxd=4,
+                                min_chunk_samples=40,
+                                interpret=True).chunk_frames
+        h = rng.normal(size=(4, Fc, cfg.n_aux)).astype(np.float32)
+        d = rng.uniform(1.0, 3.5, (4, Fc)).astype(np.float32)
+        handles = [svc.submit(h[i], d[i]) for i in range(4)]
+        got = [hd.samples() for hd in handles]
+        # groups form in submit order ([0,1] then [2,3]); whichever
+        # device served them, outputs must equal direct B=2 sessions
+        for pair in ((0, 1), (2, 3)):
+            sess = StreamingGenerator(params, cfg, B=2, maxd=4,
+                                      mode="argmax", min_chunk_samples=40,
+                                      interpret=True)
+            want = sess.feed(h[list(pair)], d[list(pair)])
+            for j, i in enumerate(pair):
+                np.testing.assert_array_equal(got[i], want[j])
+    finally:
+        svc.close()
+
+
 def test_submit_raw_without_frontend_rejected(model):
     cfg, params = model
     svc = make_service(cfg, params)
