@@ -71,6 +71,67 @@ def latency_bench(args, cfg, params):
     }))
 
 
+def serve_bench(args, cfg, params):
+    """End-to-end serving: N concurrent TCP clients stream one utterance
+    each through StreamingService's batching layer (gather window, group
+    padding, per-chip session) and the wire protocol.  Reports the median
+    per-stream realtime factor (audio seconds per wall second, end to
+    end) with the median time-to-first-chunk in the unit string —
+    vs_baseline > 1.0 means every client stays ahead of realtime."""
+    import threading
+
+    from qpnet_tpu.serve import StreamingService, request_stream, serve_tcp
+
+    svc = StreamingService(params, cfg, max_streams=max(args.streams, 1),
+                           maxd=32, gather_window_s=0.25, mode=args.mode,
+                           seed=100, first_chunk_samples=args.first_chunk)
+    srv = serve_tcp(svc, port=0)
+    addr = srv.server_address
+    rng = np.random.default_rng(0)
+    F = int(args.seconds * args.fs) // cfg.upsampling_factor
+    d_val = args.fs / (args.f0 * cfg.dense_factor)
+    h = rng.normal(size=(F, cfg.n_aux)).astype(np.float32)
+    h[:, 1] = args.f0
+    d = np.full(F, d_val, np.float32)
+    audio_s = F * cfg.upsampling_factor / args.fs
+
+    results = []
+
+    def client():
+        t0 = time.perf_counter()
+        ttfb, n = None, 0
+        for chunk in request_stream(addr, h, d):
+            if ttfb is None:
+                ttfb = time.perf_counter() - t0
+            n += len(chunk)
+        results.append((ttfb, time.perf_counter() - t0, n))
+
+    def fire(n_clients):
+        threads = [threading.Thread(target=client)
+                   for _ in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    fire(args.streams)                  # compile at the group's B bucket
+    results.clear()
+    fire(args.streams)                  # measured run, warm kernel
+    srv.shutdown()
+    svc.close()
+    assert all(n == F * cfg.upsampling_factor for _, _, n in results)
+    ttfb_ms = float(np.median([r[0] for r in results])) * 1e3
+    rtf = audio_s / float(np.median([r[1] for r in results]))
+    print(json.dumps({
+        "metric": "serving_e2e_per_stream_rtf",
+        "value": round(rtf, 4),
+        "unit": (f"x realtime/stream ({args.streams} concurrent TCP "
+                 f"clients, {audio_s:.1f}s utterances, median TTFB "
+                 f"{ttfb_ms:.0f} ms)"),
+        "vs_baseline": round(rtf, 4),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128,
@@ -104,6 +165,14 @@ def main():
     ap.add_argument("--streams", type=int, default=1,
                     help="concurrent streams (batch) in --latency mode; "
                          "vs_baseline stays per-stream realtime factor")
+    ap.add_argument("--serve", action="store_true",
+                    help="end-to-end serving mode: --streams concurrent "
+                         "TCP clients through StreamingService's "
+                         "batching layer (serve.py); reports per-stream "
+                         "realtime factor + TTFB")
+    ap.add_argument("--first_chunk", type=int, default=0,
+                    help="--serve mode: short first chunk in samples "
+                         "(serve.py first_chunk_samples) — cuts TTFB")
     args = ap.parse_args()
     if args.quick:
         args.seconds = 0.5
@@ -119,6 +188,8 @@ def main():
     cfg = ModelConfig.from_network_name(args.network)
     params = init_params(jax.random.PRNGKey(0), cfg)
     up = cfg.upsampling_factor
+    if args.serve:
+        return serve_bench(args, cfg, params)
     if args.latency:
         return latency_bench(args, cfg, params)
     B = args.batch

@@ -59,6 +59,12 @@ def get_arguments(argv=None):
                         help="minimum samples per streamed chunk "
                              "(latency granularity; 5500 = 250 ms at "
                              "22.05 kHz)")
+    parser.add_argument("--first_chunk_samples", default=0, type=int,
+                        help=">0: each group's first chunk is this short "
+                             "— time-to-first-audio drops roughly "
+                             "proportionally (e.g. 1100 = 50 ms of audio "
+                             "at 22.05 kHz) at the cost of one extra "
+                             "compiled kernel")
     parser.add_argument("--mode", default="sampling",
                         choices=["sampling", "argmax"])
     parser.add_argument("--quantize", default="none",
@@ -124,6 +130,7 @@ def main(argv=None):
         gather_window_s=args.gather_window_ms / 1000.0,
         mode=args.mode, seed=args.seed,
         min_chunk_samples=args.chunk_samples,
+        first_chunk_samples=args.first_chunk_samples,
         interpret=args.interpret, quantize=args.quantize,
         frontend=make_frontend(scaler, args, cfg), devices=devices)
     server = StreamServer(service, args.host, args.port)

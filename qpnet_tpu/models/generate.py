@@ -979,12 +979,12 @@ class StreamingGenerator:
     """Chunked low-latency generation with carried ring state.
 
     One kernel compile serves ANY output length: each `feed()` call
-    generates exactly `chunk_frames` frames worth of samples and returns
-    them, carrying the fast-WaveNet ring buffers and the last two samples
-    across calls.  The chunk length is the smallest multiple of the
-    upsampling factor and of every ring size at or above
-    `min_chunk_samples`, which makes the ring slot arithmetic continuous
-    across chunk boundaries (slot = t mod size restarts at 0 each chunk).
+    generates a whole-frame chunk of samples and returns it, carrying the
+    fast-WaveNet ring buffers and the last two samples across calls.  The
+    nominal chunk length is `min_chunk_samples` rounded up to whole
+    frames; ring slots, upsampler phase and PRNG key off the ABSOLUTE
+    sample index, so feeds of any other whole-frame length continue
+    exactly (each distinct length is one extra jit key).
 
     Intended for streaming TTS/serving: bounded memory, constant latency
     per chunk, no per-utterance-length recompiles.
@@ -1057,21 +1057,30 @@ class StreamingGenerator:
         self._state = (bufF, bufA, x0)
 
     def feed(self, h_frames: np.ndarray, d_frames: np.ndarray) -> np.ndarray:
-        """h_frames: (B, chunk_frames, n_aux) standardized aux;
-        d_frames: (B, chunk_frames) dilation factors.
-        Returns (B, chunk) int32 mu-law samples."""
+        """h_frames: (B, F, n_aux) standardized aux; d_frames: (B, F)
+        dilation factors.  Returns (B, F*up) int32 mu-law samples.
+
+        F is normally `chunk_frames`, but ANY F >= 1 continues exactly:
+        ring slots, the upsampler phase and the PRNG all key off the
+        absolute sample index, so chunk boundaries can fall anywhere on a
+        frame.  Each distinct F compiles its own kernel (one extra jit
+        key) — serving uses one short first chunk for time-to-first-audio
+        and the nominal chunk after (serve.py first_chunk_samples)."""
         from qpnet_tpu.ops.gen_kernel import pallas_generate
         cfg, B = self.cfg, self.B
-        assert h_frames.shape == (B, self.chunk_frames, cfg.n_aux)
+        F = h_frames.shape[1]
+        assert h_frames.shape == (B, F, cfg.n_aux) and F >= 1
+        assert d_frames.shape == (B, F)
         if float(np.max(d_frames)) > self.maxd:
             raise ValueError(
                 f"dilation factor {float(np.max(d_frames)):.1f} exceeds the "
                 f"session's maxd={self.maxd}; recreate the session with a "
                 f"larger maxd (ring look-backs would silently saturate)")
-        h_pad = np.zeros((self.chunk_frames, B, self.aux_pad), np.float32)
+        h_pad = np.zeros((F, B, self.aux_pad), np.float32)
         h_pad[:, :, : cfg.n_aux] = np.moveaxis(h_frames, 0, 1)
         d_pad = np.moveaxis(
             np.asarray(d_frames, np.float32), 0, 1)[:, None, :]
+        n_steps = F * cfg.upsampling_factor
         with self._on_device():
             if self._state is None:
                 self._prime(np.asarray(h_frames[:, 0], np.float32))
@@ -1079,10 +1088,10 @@ class StreamingGenerator:
             samples, bufF, bufA, x0 = pallas_generate(
                 self._packed, cfg, bufF, bufA, x0,
                 jnp.asarray(h_pad, jnp.bfloat16), jnp.asarray(d_pad),
-                self.seed, B=B, maxd=self.maxd, n_steps=self.chunk,
+                self.seed, B=B, maxd=self.maxd, n_steps=n_steps,
                 mode=self.mode, interpret=self.interpret,
                 quantize=self.quantize, step_offset=self._offset)
         self._state = (bufF, bufA, x0)
-        self._offset += self.chunk
+        self._offset += n_steps
         return np.moveaxis(np.asarray(jax.device_get(samples))[:, 0, :],
                            0, 1)

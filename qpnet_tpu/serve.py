@@ -94,7 +94,8 @@ class StreamingService:
     def __init__(self, params, cfg: ModelConfig, max_streams: int = 64,
                  maxd: int = 32, gather_window_s: float = 0.05,
                  mode: str = "sampling", seed: int = 100,
-                 min_chunk_samples: int = 5500, interpret: bool = False,
+                 min_chunk_samples: int = 5500,
+                 first_chunk_samples: int = 0, interpret: bool = False,
                  quantize: str = "none",
                  frontend: Optional[Callable[
                      [np.ndarray], Tuple[np.ndarray, np.ndarray]]] = None,
@@ -106,6 +107,11 @@ class StreamingService:
         self.maxd, self.mode, self.seed = maxd, mode, seed
         self.gather_window_s = gather_window_s
         self.min_chunk_samples = min_chunk_samples
+        # >0: each group's FIRST chunk is this short (rounded up to whole
+        # frames) — time-to-first-audio drops roughly proportionally, at
+        # the cost of one extra jit key (feeds of any whole-frame length
+        # continue exactly; see StreamingGenerator.feed)
+        self.first_chunk_samples = first_chunk_samples
         self.interpret = interpret
         self._pending: List[_Request] = []
         self._cv = threading.Condition()
@@ -218,22 +224,33 @@ class StreamingService:
             sess.reset(seed=self.seed + gidx)
         Fc = sess.chunk_frames
         F_max = max(r.h.shape[0] for r in group)
-        n_chunks = -(-F_max // Fc)
+        # chunk schedule: an optional short first chunk (time-to-first-
+        # audio), then nominal chunks
+        schedule = []
+        if self.first_chunk_samples > 0:
+            schedule.append(min(F_max, max(1, -(-self.first_chunk_samples
+                                               // up))))
+        start = sum(schedule)
+        while start < F_max:
+            schedule.append(Fc)                      # full chunks only: the
+            start += Fc                              # jit key count stays 2
         done = [0] * B_real                          # samples emitted so far
-        for c in range(n_chunks):
-            h_blk = np.zeros((B, Fc, cfg.n_aux), np.float32)
-            d_blk = np.ones((B, Fc), np.float32)
+        start = 0
+        for L in schedule:
+            h_blk = np.zeros((B, L, cfg.n_aux), np.float32)
+            d_blk = np.ones((B, L), np.float32)
             for i, r in enumerate(group):
-                sl = r.h[c * Fc: (c + 1) * Fc]
+                sl = r.h[start: start + L]
                 h_blk[i, : len(sl)] = sl
-                d_blk[i, : len(sl)] = r.d[c * Fc: (c + 1) * Fc]
-                if len(sl) < Fc and len(sl) > 0:
+                d_blk[i, : len(sl)] = r.d[start: start + L]
+                if len(sl) < L and len(sl) > 0:
                     h_blk[i, len(sl):] = sl[-1]      # repeat-last padding
-                    d_blk[i, len(sl):] = r.d[c * Fc + len(sl) - 1]
+                    d_blk[i, len(sl):] = r.d[start + len(sl) - 1]
                 elif len(sl) == 0:                   # stream already done
                     h_blk[i] = r.h[-1]
                     d_blk[i] = r.d[-1]
-            out = sess.feed(h_blk, d_blk)            # (B, chunk) int32
+            out = sess.feed(h_blk, d_blk)            # (B, L*up) int32
+            start += L
             for i, r in enumerate(group):
                 take = min(r.handle.n_samples - done[i], out.shape[1])
                 if take > 0:

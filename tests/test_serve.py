@@ -166,6 +166,34 @@ def test_raw_frontend_matches_manual_conditioning(model):
         svc.close()
 
 
+def test_short_first_chunk_bit_equal_and_smaller(model):
+    """first_chunk_samples: the schedule's first chunk shrinks (faster
+    first audio) while the full stream stays bit-identical to the
+    full-chunk service."""
+    cfg, params = model
+    rng = np.random.default_rng(9)
+    up = cfg.upsampling_factor
+    Fc = StreamingGenerator(params, cfg, B=1, maxd=4, min_chunk_samples=40,
+                            interpret=True).chunk_frames
+    F = 2 * Fc + 3
+    h = rng.normal(size=(F, cfg.n_aux)).astype(np.float32)
+    d = rng.uniform(1.0, 3.5, F).astype(np.float32)
+
+    svc_full = make_service(cfg, params, max_streams=1)
+    svc_fast = make_service(cfg, params, max_streams=1,
+                            first_chunk_samples=2 * up)
+    try:
+        chunks_fast = list(svc_fast.submit(h, d).chunks())
+        chunks_full = list(svc_full.submit(h, d).chunks())
+        assert chunks_fast[0].shape[0] == 2 * up          # short first chunk
+        assert chunks_full[0].shape[0] == Fc * up
+        np.testing.assert_array_equal(np.concatenate(chunks_fast),
+                                      np.concatenate(chunks_full))
+    finally:
+        svc_full.close()
+        svc_fast.close()
+
+
 def test_session_reuse_across_groups_matches_fresh_session(model):
     """The scheduler caches one session per (device, B) and reset()s it
     between groups: group N on a reused session must equal group N on a

@@ -48,6 +48,39 @@ def test_streaming_matches_one_shot():
     np.testing.assert_array_equal(streamed, one_shot)
 
 
+def test_variable_chunk_feeds_match_one_shot():
+    """feed() accepts ANY whole-frame length: ring slots / upsampler
+    phase / PRNG key off the absolute sample index, so an irregular chunk
+    schedule (short first chunk for TTFB, then nominal) must equal the
+    one-shot kernel bitwise."""
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(2)
+    B, maxd = 2, 4
+    sess = StreamingGenerator(params, cfg, B, maxd=maxd, mode="sampling",
+                              min_chunk_samples=40, interpret=True)
+    F = 13
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = rng.uniform(1.0, 3.5, (B, F)).astype(np.float32)
+
+    streamed, start = [], 0
+    for L in (1, 4, 2, 6):                    # irregular whole-frame chunks
+        streamed.append(sess.feed(h[:, start:start + L],
+                                  d[:, start:start + L]))
+        start += L
+    assert start == F
+    streamed = np.concatenate(streamed, axis=1)
+
+    rf = cfg.receptiveF + cfg.receptiveA * maxd + cfg.receptive_causal
+    x_seed = np.full((B, rf + 1), cfg.n_quantize // 2, np.int32)
+    d_samples = np.repeat(d, cfg.upsampling_factor, axis=1)
+    one_shot = _pallas_path(params, cfg, x_seed, h, d_samples,
+                            n_steps=F * cfg.upsampling_factor,
+                            maxd=maxd, seed=100, mode="sampling",
+                            interpret=True)
+    np.testing.assert_array_equal(streamed, one_shot)
+
+
 @pytest.mark.slow
 def test_streaming_w8a8_matches_one_shot_w8a8():
     """The deep released network only streams via --quantize w8a8 (bf16
