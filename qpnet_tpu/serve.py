@@ -55,9 +55,26 @@ class StreamHandle:
         self.n_samples = n_samples
         self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue()
         self.error: Optional[Exception] = None
+        self._cancelled = threading.Event()
+
+    @property
+    def cancelled(self) -> bool:
+        return self._cancelled.is_set()
+
+    def cancel(self):
+        """Abandon the stream (e.g. the client disconnected).  The
+        scheduler stops emitting chunks for it, and once every stream in
+        its group is cancelled or complete the group's kernel loop stops
+        early — cancellation returns real chip time, not just queue
+        space.  Safe from any thread, idempotent, and valid at any
+        stage (pending requests are dropped before ever being grouped)."""
+        self._cancelled.set()
+        self._q.put(None)                            # unblock a reader
 
     def chunks(self):
         while True:
+            if self.cancelled:
+                return
             item = self._q.get()
             if item is None:
                 if self.error is not None:
@@ -117,6 +134,11 @@ class StreamingService:
         self._cv = threading.Condition()
         self._closed = False
         self._groups = 0
+        # observability: kernel feeds run / streams fully served /
+        # streams cancelled (read them for capacity dashboards; tests
+        # use feeds to assert early group termination)
+        self.stats = {"groups": 0, "feeds": 0, "streams_done": 0,
+                      "streams_cancelled": 0}
         # one scheduler worker per chip: each pins its sessions to its
         # device (StreamingGenerator device=), so a pod slice serves
         # len(devices) groups concurrently off one shared request queue
@@ -183,6 +205,11 @@ class StreamingService:
                     lambda: len(self._pending) >= self.max_streams
                     or self._closed,
                     timeout=self.gather_window_s)
+            # requests cancelled while queued never reach a kernel
+            live = [r for r in self._pending if not r.handle.cancelled]
+            self.stats["streams_cancelled"] += (len(self._pending)
+                                                - len(live))
+            self._pending = live
             group = self._pending[: self.max_streams]
             del self._pending[: len(group)]
             return group
@@ -193,6 +220,8 @@ class StreamingService:
             group = self._take_group()
             if group is None:
                 return
+            if not group:                            # all arrivals cancelled
+                continue
             try:
                 self._run_group(group, sessions, device)
             except Exception as e:  # noqa: BLE001 — report to all clients
@@ -236,7 +265,15 @@ class StreamingService:
             start += Fc                              # jit key count stays 2
         done = [0] * B_real                          # samples emitted so far
         start = 0
+        with self._cv:
+            self.stats["groups"] += 1
         for L in schedule:
+            # early group termination: once every stream is complete or
+            # cancelled, the remaining schedule is pure padding — stop
+            # the kernel loop and hand the chip back
+            if all(r.handle.cancelled or done[i] >= r.handle.n_samples
+                   for i, r in enumerate(group)):
+                break
             h_blk = np.zeros((B, L, cfg.n_aux), np.float32)
             d_blk = np.ones((B, L), np.float32)
             for i, r in enumerate(group):
@@ -251,11 +288,21 @@ class StreamingService:
                     d_blk[i] = r.d[-1]
             out = sess.feed(h_blk, d_blk)            # (B, L*up) int32
             start += L
+            with self._cv:
+                self.stats["feeds"] += 1
             for i, r in enumerate(group):
+                if r.handle.cancelled:
+                    continue
                 take = min(r.handle.n_samples - done[i], out.shape[1])
                 if take > 0:
                     r.handle._q.put(out[i, :take].copy())
                     done[i] += take
+        with self._cv:
+            for i, r in enumerate(group):
+                if r.handle.cancelled:
+                    self.stats["streams_cancelled"] += 1
+                else:
+                    self.stats["streams_done"] += 1
         for r in group:
             r.handle._q.put(None)
 
@@ -320,10 +367,10 @@ class _Handler(socketserver.StreamRequestHandler):
                 self.wfile.write(struct.pack("<I", len(pcm)) + pcm.tobytes())
             self.wfile.write(struct.pack("<I", 0))
         except OSError:
-            # Client hung up mid-stream: drain the handle (the scheduler
-            # keeps feeding its queue regardless) and exit quietly.
-            for _ in handle.chunks():
-                pass
+            # Client hung up mid-stream: cancel so the scheduler stops
+            # generating for this stream (and stops the whole group's
+            # kernel loop once no live stream remains).
+            handle.cancel()
 
 
 class StreamServer(socketserver.ThreadingTCPServer):

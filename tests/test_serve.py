@@ -339,3 +339,118 @@ def test_tcp_roundtrip(model):
     finally:
         srv.shutdown()
         svc.close()
+
+
+def _wait_for(pred, timeout=30.0, step=0.05):
+    deadline = time.time() + timeout
+    while not pred():
+        if time.time() > deadline:
+            return False
+        time.sleep(step)
+    return True
+
+
+def test_cancel_mid_stream_stops_group_early(model):
+    """cancel() mid-stream ends the group's kernel loop once no live
+    stream remains: fewer feeds than the schedule, and the chunks seen
+    before the cancel are bit-equal to the uncancelled run."""
+    cfg, params = model
+    Fc = StreamingGenerator(params, cfg, B=1, maxd=4, min_chunk_samples=40,
+                            interpret=True).chunk_frames
+    F = 6 * Fc
+    rng = np.random.default_rng(11)
+    h = rng.normal(size=(F, cfg.n_aux)).astype(np.float32)
+    d = rng.uniform(1.0, 3.5, F).astype(np.float32)
+
+    svc_ref = make_service(cfg, params, max_streams=1)
+    try:
+        full = svc_ref.submit(h, d).samples()
+        assert svc_ref.stats["feeds"] == 6
+    finally:
+        svc_ref.close()
+
+    svc = make_service(cfg, params, max_streams=1)
+    try:
+        hd = svc.submit(h, d)
+        it = hd.chunks()
+        first = next(it)
+        hd.cancel()
+        # the scheduler notices at the next loop head; close() joins it
+    finally:
+        svc.close()
+    np.testing.assert_array_equal(first, full[: len(first)])
+    assert svc.stats["feeds"] < 6            # stopped early
+    assert svc.stats["streams_cancelled"] == 1
+    assert svc.stats["streams_done"] == 0
+
+
+def test_cancel_pending_request_never_reaches_a_kernel(model):
+    """A request cancelled while still queued is dropped before grouping
+    and a later live request is unaffected."""
+    cfg, params = model
+    rng = np.random.default_rng(12)
+    F = 4
+    h = rng.normal(size=(F, cfg.n_aux)).astype(np.float32)
+    d = np.full(F, 2.0, np.float32)
+    # max_streams=2 keeps the scheduler inside the gather window after
+    # one submit (predicate needs 2), giving us time to cancel
+    svc = make_service(cfg, params, max_streams=2, gather_window_s=1.0)
+    try:
+        doomed = svc.submit(h, d)
+        doomed.cancel()
+        assert list(doomed.chunks()) == []
+        live = svc.submit(h, d)
+        out = live.samples()
+        assert out.shape == (F * cfg.upsampling_factor,)
+        assert _wait_for(lambda: svc.stats["streams_done"] == 1)
+        assert svc.stats["streams_cancelled"] == 1
+    finally:
+        svc.close()
+
+
+def test_cancel_unblocks_a_blocked_reader(model):
+    cfg, params = model
+    # never scheduled: max_streams=2 + long gather window
+    svc = make_service(cfg, params, max_streams=2, gather_window_s=5.0)
+    try:
+        hd = svc.submit(np.zeros((2, cfg.n_aux), np.float32),
+                        np.full(2, 2.0, np.float32))
+        got = []
+        t = threading.Thread(target=lambda: got.extend(hd.chunks()))
+        t.start()
+        time.sleep(0.1)
+        hd.cancel()
+        t.join(timeout=10)
+        assert not t.is_alive() and got == []
+    finally:
+        svc.close()
+
+
+def test_tcp_disconnect_cancels_stream(model):
+    """A client that hangs up mid-stream triggers cancel(): the
+    scheduler records the cancellation and stops generating."""
+    cfg, params = model
+    Fc = StreamingGenerator(params, cfg, B=1, maxd=4, min_chunk_samples=40,
+                            interpret=True).chunk_frames
+    F = 8 * Fc
+    rng = np.random.default_rng(13)
+    h = rng.normal(size=(F, cfg.n_aux)).astype("<f4")
+    d = np.full(F, 2.5, "<f4")
+    svc = make_service(cfg, params, max_streams=1)
+    srv = serve_tcp(svc, port=0)
+    try:
+        with socket.create_connection(srv.server_address) as s:
+            s.sendall(json.dumps({"frames": F}).encode() + b"\n"
+                      + h.tobytes() + d.tobytes())
+            buf = s.makefile("rb")
+            n = struct.unpack("<I", buf.read(4))[0]
+            buf.read(2 * n)                  # one chunk, then hang up
+            buf.close()                      # drop the makefile dup too
+            # RST on close so the server's next write errors promptly
+            s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                         struct.pack("ii", 1, 0))
+        assert _wait_for(lambda: svc.stats["streams_cancelled"] == 1)
+        assert svc.stats["streams_done"] == 0
+    finally:
+        srv.shutdown()
+        svc.close()
