@@ -72,6 +72,16 @@ def get_arguments(argv=None):
                         help="w8a8 halves resident weight VMEM — required "
                              "to serve the deep Rd10Rr3Ed4Er1 network "
                              "(same tradeoff as qpnet_decode)")
+    parser.add_argument("--prewarm", default=None, type=str,
+                        help="comma-separated group sizes whose session "
+                             "kernels compile BEFORE the socket opens "
+                             "(e.g. '1,8,64'; sizes round up to pow2 "
+                             "buckets).  With the on-disk compile cache "
+                             "a warm start is seconds; without it the "
+                             "first request would pay the compile")
+    parser.add_argument("--max_pending", default=None, type=int,
+                        help="back-pressure: reject new requests once "
+                             "this many are queued (default unbounded)")
     parser.add_argument("--seed", default=100, type=int)
     parser.add_argument("--verbose", default=1, type=int)
     parser.add_argument("--interpret", default=False,
@@ -132,7 +142,13 @@ def main(argv=None):
         min_chunk_samples=args.chunk_samples,
         first_chunk_samples=args.first_chunk_samples,
         interpret=args.interpret, quantize=args.quantize,
-        frontend=make_frontend(scaler, args, cfg), devices=devices)
+        frontend=make_frontend(scaler, args, cfg), devices=devices,
+        max_pending=args.max_pending)
+    if args.prewarm:
+        buckets = [int(b) for b in args.prewarm.split(",")]
+        logging.info("prewarming session buckets %s ...", buckets)
+        service.prewarm(buckets)
+        logging.info("prewarm done")
     server = StreamServer(service, args.host, args.port)
     logging.info("serving on %s:%d (max %d streams/session, %d-sample "
                  "chunks)", *server.server_address[:2], args.max_streams,

@@ -116,7 +116,8 @@ class StreamingService:
                  quantize: str = "none",
                  frontend: Optional[Callable[
                      [np.ndarray], Tuple[np.ndarray, np.ndarray]]] = None,
-                 devices: Optional[List] = None):
+                 devices: Optional[List] = None,
+                 max_pending: Optional[int] = None):
         self.params, self.cfg = params, cfg
         self.frontend = frontend
         self.quantize = quantize
@@ -130,6 +131,9 @@ class StreamingService:
         # continue exactly; see StreamingGenerator.feed)
         self.first_chunk_samples = first_chunk_samples
         self.interpret = interpret
+        # back-pressure: submit() rejects once this many requests are
+        # queued (None = unbounded — fine in-process, set it for servers)
+        self.max_pending = max_pending
         self._pending: List[_Request] = []
         self._cv = threading.Condition()
         self._closed = False
@@ -141,18 +145,59 @@ class StreamingService:
                       "streams_cancelled": 0}
         # one scheduler worker per chip: each pins its sessions to its
         # device (StreamingGenerator device=), so a pod slice serves
-        # len(devices) groups concurrently off one shared request queue
+        # len(devices) groups concurrently off one shared request queue.
+        # Session maps (B bucket -> pinned session) live on the service
+        # so prewarm() can populate them before traffic arrives.
+        self._devices = list(devices) if devices else [None]
+        self._sessions: List[dict] = [{} for _ in self._devices]
         self._threads = [
-            threading.Thread(target=self._scheduler, args=(dev,),
+            threading.Thread(target=self._scheduler, args=(dev, sess_map),
                              daemon=True)
-            for dev in (devices if devices else [None])]
+            for dev, sess_map in zip(self._devices, self._sessions)]
         for t in self._threads:
             t.start()
+
+    def _make_session(self, B: int, device) -> StreamingGenerator:
+        return StreamingGenerator(
+            self.params, self.cfg, B=B, maxd=self.maxd, seed=self.seed,
+            mode=self.mode, min_chunk_samples=self.min_chunk_samples,
+            interpret=self.interpret, quantize=self.quantize,
+            device=device)
+
+    def prewarm(self, buckets: Optional[List[int]] = None):
+        """Build (and thereby compile) the sessions for the given batch
+        buckets up front, so the first real request doesn't pay the
+        kernel compile.  `buckets` are request-group sizes; each is
+        rounded up to its power-of-two session bucket (default: just
+        `max_streams`).  Runs on the calling thread; with the on-disk
+        compile cache (utils/jax_cache.py) a warm process start is
+        seconds.  Sessions are handed to the scheduler workers, one set
+        per device."""
+        up = self.cfg.upsampling_factor
+        sizes = sorted({1 << (max(1, b) - 1).bit_length()
+                        for b in (buckets or [self.max_streams])})
+        for sess_map, device in zip(self._sessions, self._devices):
+            for B in sizes:
+                if B in sess_map:
+                    continue
+                sess = self._make_session(B, device)
+                # compile exactly the schedule shapes _run_group uses:
+                # the short first chunk (if configured), then nominal
+                shapes = [sess.chunk_frames]
+                if self.first_chunk_samples > 0:
+                    shapes.insert(0, max(1, -(-self.first_chunk_samples
+                                              // up)))
+                for F in shapes:
+                    sess.feed(np.zeros((B, F, self.cfg.n_aux), np.float32),
+                              np.ones((B, F), np.float32))
+                sess_map[B] = sess
 
     def submit(self, h: np.ndarray, d: np.ndarray) -> StreamHandle:
         """h: (F, n_aux) standardized aux frames; d: (F,) dilation
         factors (already F0-scaled as in qpnet_decode).  Returns the
-        output handle immediately."""
+        output handle immediately.  Raises RuntimeError when the
+        service is closed or `max_pending` requests are already queued
+        (back-pressure: the caller should retry or shed load)."""
         h = np.asarray(h, np.float32)
         d = np.asarray(d, np.float32)
         if h.ndim != 2 or h.shape[1] != self.cfg.n_aux:
@@ -167,6 +212,11 @@ class StreamingService:
         with self._cv:
             if self._closed:
                 raise RuntimeError("service is closed")
+            if (self.max_pending is not None
+                    and len(self._pending) >= self.max_pending):
+                raise RuntimeError(
+                    f"service overloaded: {len(self._pending)} requests "
+                    f"already queued (max_pending={self.max_pending})")
             self._pending.append(req)
             self._cv.notify()
         return req.handle
@@ -214,8 +264,7 @@ class StreamingService:
             del self._pending[: len(group)]
             return group
 
-    def _scheduler(self, device):
-        sessions = {}                                # B -> pinned session
+    def _scheduler(self, device, sessions):
         while True:
             group = self._take_group()
             if group is None:
@@ -240,17 +289,12 @@ class StreamingService:
             self._groups += 1
         sess = sessions.get(B)
         if sess is None:
-            sess = StreamingGenerator(
-                self.params, cfg, B=B, maxd=self.maxd,
-                seed=self.seed + gidx, mode=self.mode,
-                min_chunk_samples=self.min_chunk_samples,
-                interpret=self.interpret, quantize=self.quantize,
-                device=device)
+            sess = self._make_session(B, device)
             sessions[B] = sess
-        else:
-            # reuse the packed weights + compiled kernel; fresh ring
-            # state and a per-group seed (traced — no recompile)
-            sess.reset(seed=self.seed + gidx)
+        # reuse the packed weights + compiled kernel (possibly built by
+        # prewarm()); fresh ring state and a per-group seed (traced — no
+        # recompile)
+        sess.reset(seed=self.seed + gidx)
         Fc = sess.chunk_frames
         F_max = max(r.h.shape[0] for r in group)
         # chunk schedule: an optional short first chunk (time-to-first-

@@ -454,3 +454,50 @@ def test_tcp_disconnect_cancels_stream(model):
     finally:
         srv.shutdown()
         svc.close()
+
+
+def test_prewarm_builds_sessions_and_output_is_unchanged(model):
+    """prewarm() compiles the session buckets before traffic; the served
+    stream is bit-identical to a cold service."""
+    cfg, params = model
+    rng = np.random.default_rng(14)
+    F = 7
+    h = rng.normal(size=(F, cfg.n_aux)).astype(np.float32)
+    d = np.full(F, 2.0, np.float32)
+
+    svc_cold = make_service(cfg, params, max_streams=2)
+    try:
+        want = svc_cold.submit(h, d).samples()
+    finally:
+        svc_cold.close()
+
+    svc = make_service(cfg, params, max_streams=2,
+                       first_chunk_samples=2 * cfg.upsampling_factor)
+    try:
+        svc.prewarm([1, 2])
+        # pow2 buckets materialized on the (single) device's session map
+        assert sorted(svc._sessions[0]) == [1, 2]
+        got = svc.submit(h, d).samples()
+    finally:
+        svc.close()
+    np.testing.assert_array_equal(got, want[: got.shape[0]])
+    assert got.shape == want.shape
+
+
+def test_max_pending_backpressure(model):
+    cfg, params = model
+    h = np.zeros((2, cfg.n_aux), np.float32)
+    d = np.full(2, 2.0, np.float32)
+    # predicate needs 4 streams, so 2 submits sit pending for the whole
+    # 5 s gather window — the third must bounce off max_pending=2
+    svc = make_service(cfg, params, max_streams=4, gather_window_s=5.0,
+                      max_pending=2)
+    try:
+        a = svc.submit(h, d)
+        b = svc.submit(h, d)
+        with pytest.raises(RuntimeError, match="overloaded"):
+            svc.submit(h, d)
+    finally:
+        svc.close()
+    # the queued pair still completed on close-drain
+    assert a.samples().shape == b.samples().shape == (2 * cfg.upsampling_factor,)
