@@ -119,6 +119,8 @@ def serve_bench(args, cfg, params):
     fire(args.streams)                  # measured run, warm kernel
     srv.shutdown()
     svc.close()
+    assert len(results) == args.streams, \
+        f"only {len(results)}/{args.streams} clients completed"
     assert all(n == F * cfg.upsampling_factor for _, _, n in results)
     ttfb_ms = float(np.median([r[0] for r in results])) * 1e3
     rtf = audio_s / float(np.median([r[1] for r in results]))

@@ -18,6 +18,16 @@ Layer map (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # lazy: `from qpnet_tpu import Vocoder` without paying the jax/model
+    # import cost for CLI workers that never synthesize
+    if name == "Vocoder":
+        from qpnet_tpu.api import Vocoder
+        return Vocoder
+    raise AttributeError(name)
+
+
 import os as _os
 
 if _os.environ.get("QPNET_PLATFORM"):

@@ -420,6 +420,9 @@ class _Handler(socketserver.StreamRequestHandler):
 class StreamServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
+    # a burst of max_streams simultaneous connects must not overflow the
+    # listen backlog (the stdlib default of 5 drops clients with RST)
+    request_queue_size = 128
 
     def __init__(self, service: StreamingService, host: str = "127.0.0.1",
                  port: int = 0):

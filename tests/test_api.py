@@ -1,0 +1,168 @@
+"""High-level Vocoder API: loading an experiment directory and
+synthesizing must reproduce the qpnet_decode CLI bit-for-bit (same
+conditioning contract, same engine path), and the streaming facade must
+be deterministic across session reuse."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from qpnet_tpu import Vocoder
+from qpnet_tpu.config import ModelConfig, RunConfig
+from qpnet_tpu.data.h5io import write_hdf5
+from qpnet_tpu.data.stats import Scaler
+from qpnet_tpu.models import init_params
+from qpnet_tpu.ops import dilated_factor
+
+
+def tiny_cfg():
+    return ModelConfig(n_quantize=32, n_aux=4, n_resch=16, n_skipch=8,
+                       dilationF_depth=2, dilationF_repeat=2,
+                       dilationA_depth=2, dilationA_repeat=1,
+                       kernel_size=2, upsampling_factor=5)
+
+
+FS = 1000
+
+
+@pytest.fixture(scope="module")
+def expdir(tmp_path_factory):
+    """A complete tiny experiment: model.conf + checkpoint-final.pkl +
+    checkpoint-7.pkl + stats.h5 + one raw feature h5."""
+    from qpnet_tpu.train.checkpoint import save_checkpoint, save_final
+
+    tmp = tmp_path_factory.mktemp("exp")
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    save_final(str(tmp), params)
+    save_checkpoint(str(tmp), params, None, 7)
+    RunConfig(model=cfg, fs=FS).save(str(tmp / "model.conf"))
+
+    rng = np.random.default_rng(0)
+    mean = rng.normal(size=cfg.n_aux)
+    scale = rng.uniform(0.5, 2.0, cfg.n_aux)
+    write_hdf5(str(tmp / "stats.h5"), "/world/mean", mean)
+    write_hdf5(str(tmp / "stats.h5"), "/world/scale", scale)
+
+    F = 11
+    feats = np.abs(rng.normal(size=(F, cfg.n_aux))) + 0.1
+    feats[:, 1] = rng.uniform(80.0, 120.0, F)        # d = fs/(f0*4) < 4
+    write_hdf5(str(tmp / "utt1.h5"), "/world", feats)
+    return tmp, cfg, feats
+
+
+def test_synthesize_matches_decode_cli(expdir, tmp_path):
+    tmp, cfg, feats = expdir
+    from qpnet_tpu.bin import qpnet_decode
+
+    lst = tmp_path / "feats.list"
+    lst.write_text(str(tmp / "utt1.h5") + "\n")
+    qpnet_decode.main([
+        "--feats", str(lst), "--stats", str(tmp / "stats.h5"),
+        "--config", str(tmp / "model.conf"),
+        "--checkpoint", str(tmp / "checkpoint-final.pkl"),
+        "--outdir", str(tmp_path / "out" / "feat_id.wav"),
+        "--fs", str(FS), "--mode", "argmax", "--engine", "xla",
+        "--verbose", "0"])
+    _, want = wavfile.read(str(tmp_path / "out" / "utt1.wav"))
+
+    voc = Vocoder.load(str(tmp), stats=str(tmp / "stats.h5"),
+                       mode="argmax", engine="xla")
+    assert voc.fs == FS                              # picked up model.conf
+    got_path = voc.synthesize_to_wav(feats, str(tmp_path / "api.wav"))
+    fs_got, got = wavfile.read(got_path)
+    assert fs_got == FS
+    np.testing.assert_array_equal(got, want)
+
+
+def test_f0_scaled_synthesis_matches_cli(expdir, tmp_path):
+    tmp, cfg, feats = expdir
+    from qpnet_tpu.bin import qpnet_decode
+
+    lst = tmp_path / "feats.list"
+    lst.write_text(str(tmp / "utt1.h5") + "\n")
+    qpnet_decode.main([
+        "--feats", str(lst), "--stats", str(tmp / "stats.h5"),
+        "--config", str(tmp / "model.conf"),
+        "--checkpoint", str(tmp / "checkpoint-final.pkl"),
+        "--outdir", str(tmp_path / "out" / "feat_id.wav"),
+        "--fs", str(FS), "--mode", "argmax", "--engine", "xla",
+        "--f0_factor", "0.5", "--verbose", "0"])
+    _, want = wavfile.read(str(tmp_path / "out" / "utt1.wav"))
+
+    voc = Vocoder.load(str(tmp), stats=str(tmp / "stats.h5"),
+                       mode="argmax", engine="xla")
+    wav = voc.synthesize(feats, f0_factor=0.5)
+    got = np.clip(wav * 32768, -32768, 32767).astype(np.int16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_conditioning_contract(expdir):
+    """conditioning() == the decode CLI's math: F0 column scaled before
+    both the dilation factors and standardization."""
+    tmp, cfg, feats = expdir
+    from qpnet_tpu.data.stats import load_scaler
+
+    scaler = load_scaler(str(tmp / "stats.h5"), "world")
+    voc = Vocoder.load(str(tmp), stats=str(tmp / "stats.h5"))
+    h, d = voc.conditioning(feats, f0_factor=1.5)
+    manual = np.array(feats, np.float64)
+    manual[:, 1] *= 1.5
+    np.testing.assert_allclose(
+        d, dilated_factor(np.ascontiguousarray(manual[:, 1]), FS,
+                          cfg.dense_factor).astype(np.float32))
+    np.testing.assert_allclose(h, scaler.transform(manual).astype(np.float32),
+                               rtol=1e-6)
+
+
+def test_batch_preserves_input_order_and_lengths(expdir):
+    tmp, cfg, feats = expdir
+    rng = np.random.default_rng(3)
+    voc = Vocoder.load(str(tmp), stats=str(tmp / "stats.h5"),
+                       mode="argmax", engine="xla")
+    lengths = [5, 11, 8]
+    batch = []
+    for F in lengths:
+        f = np.abs(rng.normal(size=(F, cfg.n_aux))) + 0.1
+        f[:, 1] = rng.uniform(80.0, 120.0, F)
+        batch.append(f)
+    wavs = voc.synthesize_batch(batch)
+    up = cfg.upsampling_factor
+    assert [w.shape[0] for w in wavs] == [F * up - 1 for F in lengths]
+    for w in wavs:
+        assert w.dtype == np.float32 and np.abs(w).max() <= 1.0
+
+
+def test_stream_deterministic_across_session_reuse(expdir):
+    tmp, cfg, feats = expdir
+    voc = Vocoder.load(str(tmp), stats=str(tmp / "stats.h5"),
+                       mode="sampling", interpret=True)
+    chunks1 = list(voc.stream(feats, chunk_samples=20))
+    assert len(voc._streams) == 1                    # session cached
+    chunks2 = list(voc.stream(feats, chunk_samples=20))
+    assert len(voc._streams) == 1                    # ... and reused
+    up = cfg.upsampling_factor
+    total = sum(c.shape[0] for c in chunks1)
+    assert total == feats.shape[0] * up
+    assert len(chunks1) > 1                          # actually chunked
+    np.testing.assert_array_equal(np.concatenate(chunks1),
+                                  np.concatenate(chunks2))
+
+
+def test_load_by_iteration_and_scaler_object(expdir):
+    tmp, cfg, feats = expdir
+    sc = Scaler.from_stats(np.zeros(cfg.n_aux), np.ones(cfg.n_aux))
+    voc = Vocoder.load(str(tmp), checkpoint=7, stats=sc,
+                       mode="argmax", engine="xla")
+    wav = voc.synthesize(feats[:4])
+    assert wav.shape == (4 * cfg.upsampling_factor - 1,)
+
+
+def test_feats_shape_validated(expdir):
+    tmp, cfg, feats = expdir
+    voc = Vocoder.load(str(tmp), stats=str(tmp / "stats.h5"))
+    with pytest.raises(ValueError, match="feats must be"):
+        voc.conditioning(np.zeros((5, cfg.n_aux + 2)))
