@@ -153,6 +153,18 @@ def main(argv=None):
     logging.info("serving on %s:%d (max %d streams/session, %d-sample "
                  "chunks)", *server.server_address[:2], args.max_streams,
                  service.min_chunk_samples)
+    import signal
+    import threading
+
+    def _term(signum, frame):
+        # SIGTERM (orchestrators' stop signal): stop accepting, then
+        # close the service — which drains already-queued groups so
+        # in-flight clients get their full streams before exit
+        logging.info("SIGTERM: draining in-flight streams")
+        raise KeyboardInterrupt
+
+    if threading.current_thread() is threading.main_thread():
+        signal.signal(signal.SIGTERM, _term)    # signals are main-thread-only
     try:
         server.serve_forever()
     except KeyboardInterrupt:
