@@ -222,7 +222,7 @@ class TestSpeechlikeCopySynthesis:
 
         an = WorldAnalyzer(fs=fs, shiftms=5.0, minf0=60, maxf0=400,
                            fftl=1024)
-        f0, _, ap = an.analyze(x)
+        f0, sp_full, ap = an.analyze(x)
         mcep = an.mcep(34, 0.455)
         syn = WorldSynthesizer(fs=fs, fftl=1024, shiftms=5.0)
         y = syn.synthesis(f0, mcep, ap, 0.455)
@@ -242,6 +242,19 @@ class TestSpeechlikeCopySynthesis:
         assert m["mcd_db"] < 1.15, m
         assert m["f0_rmse_hz"] < 3.0, m
         assert m["voiced_both"] > 100, m
+        # ... and that IS the measurement floor on this stochastic
+        # fixture: two resyntheses of the SAME features with different
+        # noise realizations measure ~1.13 dB MCD against each other
+        # (per-frame envelope estimates fluctuate on noise), so
+        # copy-synthesis at ~0.9-1.1 dB is indistinguishable from a
+        # perfect synthesizer here — no implementation could score
+        # materially lower on this metric
+        from qpnet_tpu.dsp.world.synthesis import synthesize as _synth
+        ya = _synth(f0, sp_full, ap, fs, frame_period=5.0, seed=1)
+        yb = _synth(f0, sp_full, ap, fs, frame_period=5.0, seed=2)
+        nf = min(len(ya), len(yb))
+        floor = wav_metrics(ya[:nf], yb[:nf], fs, minf0=60, maxf0=400)
+        assert m["mcd_db"] <= floor["mcd_db"] + 0.1, (m, floor)
         # wide-band sanity (octave-flip exposure bounded, not tight)
         mw = wav_metrics(x[:n], np.asarray(y[:n], np.float64), fs)
         assert mw["mcd_db"] < 1.6, mw
