@@ -72,6 +72,20 @@ def get_arguments(argv=None):
                         help="w8a8 halves resident weight VMEM — required "
                              "to serve the deep Rd10Rr3Ed4Er1 network "
                              "(same tradeoff as qpnet_decode)")
+    parser.add_argument("--noise_shaping", default=False,
+                        action="store_true",
+                        help="model was trained on noise-shaped targets "
+                             "(run_FE.sh stage 4): apply the recipe's "
+                             "noise-RESTORATION filter (differential "
+                             "MLSA from the corpus mean mcep + 70 Hz "
+                             "low-cut, reference noise_restored.py) to "
+                             "each stream as it generates, with carried "
+                             "filter state across chunks")
+    parser.add_argument("--mcep_dim_start", default=2, type=int)
+    parser.add_argument("--mcep_dim_end", default=27, type=int)
+    parser.add_argument("--mcep_alpha", default=0.41, type=float)
+    parser.add_argument("--mag", default=0.5, type=float)
+    parser.add_argument("--shiftms", default=5.0, type=float)
     parser.add_argument("--prewarm", default=None, type=str,
                         help="comma-separated group sizes whose session "
                              "kernels compile BEFORE the socket opens "
@@ -135,6 +149,20 @@ def main(argv=None):
                 f"{len(jax.devices())}")
         logging.info("serving over %d devices", len(devices))
 
+    postfilter_factory = None
+    if args.noise_shaping:
+        from qpnet_tpu.dsp.emphasis import (StreamingEmphasizer,
+                                            emphasis_coefs)
+        coefs = emphasis_coefs(args.stats, run_cfg.feature_type,
+                               args.mcep_dim_start, args.mcep_dim_end,
+                               args.mag, invert=False)
+        postfilter_factory = lambda: StreamingEmphasizer(  # noqa: E731
+            args.fs, coefs, args.mcep_alpha, shiftms=args.shiftms)
+        logging.info("noise restoration filter enabled "
+                     "(mcep[%d:%d], mag %.2f, alpha %.3f)",
+                     args.mcep_dim_start, args.mcep_dim_end,
+                     args.mag, args.mcep_alpha)
+
     service = StreamingService(
         params, cfg, max_streams=args.max_streams, maxd=args.maxd,
         gather_window_s=args.gather_window_ms / 1000.0,
@@ -143,7 +171,8 @@ def main(argv=None):
         first_chunk_samples=args.first_chunk_samples,
         interpret=args.interpret, quantize=args.quantize,
         frontend=make_frontend(scaler, args, cfg), devices=devices,
-        max_pending=args.max_pending)
+        max_pending=args.max_pending,
+        postfilter_factory=postfilter_factory)
     if args.prewarm:
         buckets = [int(b) for b in args.prewarm.split(",")]
         logging.info("prewarming session buckets %s ...", buckets)

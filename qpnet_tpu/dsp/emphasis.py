@@ -59,6 +59,57 @@ def emphasize(x: np.ndarray, fs: int, coefs: np.ndarray, alpha: float,
     return low_cut_filter(y, fs, cutoff=HIGHPASS_CUTOFF_HZ)
 
 
+class StreamingEmphasizer:
+    """Chunk-by-chunk differential-MLSA emphasis with carried filter
+    state: `concat(process(chunks))` equals `emphasize(concat(chunks))`
+    to f32 rounding, for ANY chunking (both the MLSA IIR carry and the
+    70 Hz FIR tap state persist across chunks; exact bitwise equality
+    across different chunkings is precluded only by per-length XLA FMA
+    scheduling of the scan body).
+
+    This is what lets the serving path apply the recipe's noise
+    RESTORATION filter (reference noise_restored.py; recipe stage 4) to
+    audio as it streams, instead of post-processing whole files — models
+    trained on noise-shaped targets (run_FE.sh stage 4) need it for
+    correct output spectra.  The filter is causal/time-recursive, so
+    streaming costs nothing but the carried state.
+    """
+
+    def __init__(self, fs: int, coefs: np.ndarray, alpha: float,
+                 shiftms: float = 5.0, pd: int = 4, highpass: bool = True):
+        from scipy.signal import firwin
+
+        from qpnet_tpu.dsp.mcep import mc2b
+        from qpnet_tpu.dsp.mlsa import mlsa_init_state
+
+        self.fs, self.alpha, self.pd = fs, float(alpha), pd
+        self.hopsize = int(fs * shiftms / 1000)
+        # frame-constant coefficients: one b row serves every sample
+        self._b = np.asarray(mc2b(np.asarray(coefs, np.float64)[None, :],
+                                  self.alpha), np.float32)
+        self._state = mlsa_init_state(self._b.shape[1] - 1, pd)
+        self._fir = (firwin(255, HIGHPASS_CUTOFF_HZ / (fs // 2),
+                            pass_zero=False) if highpass else None)
+        self._fir_zi = (np.zeros(254) if highpass else None)
+
+    def process(self, chunk: np.ndarray) -> np.ndarray:
+        """Filter one chunk (any length); returns the same length."""
+        import jax
+        from scipy.signal import lfilter
+
+        from qpnet_tpu.dsp.mlsa import _mlsa_scan_stateful
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            y, self._state = _mlsa_scan_stateful(
+                np.asarray(chunk, np.float32), self._b, self._state,
+                self.alpha, self.pd, self.hopsize)
+        y = np.asarray(y, np.float64)
+        if self._fir is not None:
+            y, self._fir_zi = lfilter(self._fir, 1, y, zi=self._fir_zi)
+        return y
+
+
 def filter_wav_file(src: str, dst: str, fs_expected: int,
                     coefs: np.ndarray, alpha: float, shiftms: float) -> None:
     """Read `src`, filter, write `dst` preserving the sample dtype.

@@ -44,7 +44,10 @@ def _pade(pd: int) -> np.ndarray:
 
 @functools.partial(
     __import__("jax").jit, static_argnames=("alpha", "pd", "hopsize"))
-def _mlsa_scan(x, b_frames, alpha: float, pd: int, hopsize: int):
+def _mlsa_scan_stateful(x, b_frames, carry, alpha: float, pd: int,
+                        hopsize: int):
+    """Scan with an explicit filter carry in/out, so callers can stream
+    chunk by chunk: chunked output is bitwise the one-shot output."""
     import jax
     import jax.numpy as jnp
 
@@ -87,13 +90,27 @@ def _mlsa_scan(x, b_frames, alpha: float, pd: int, hopsize: int):
         y = y * jnp.exp(b[0])
         return (st1, st2, n + 1), y
 
+    carry, y = jax.lax.scan(step, carry, jnp.asarray(x, jnp.float64)
+                            if x.dtype == np.float64 else jnp.asarray(x))
+    return y, carry
+
+
+def mlsa_init_state(order: int, pd: int = 4):
+    """Zero filter carry for `_mlsa_scan_stateful` (order = M, the
+    mel-cepstral filter order; state layout: two exp-filter stages of
+    (stage inputs (L,), basis outputs (L, M)) plus the sample counter)."""
+    import jax.numpy as jnp
     L = pd
-    init = (
-        (jnp.zeros((L,)), jnp.zeros((L, M))),
-        (jnp.zeros((L,)), jnp.zeros((L, M))),
+    return (
+        (jnp.zeros((L,)), jnp.zeros((L, order))),
+        (jnp.zeros((L,)), jnp.zeros((L, order))),
         jnp.int32(0))
-    _, y = jax.lax.scan(step, init, jnp.asarray(x, jnp.float64)
-                        if x.dtype == np.float64 else jnp.asarray(x))
+
+
+def _mlsa_scan(x, b_frames, alpha: float, pd: int, hopsize: int):
+    y, _ = _mlsa_scan_stateful(
+        x, b_frames, mlsa_init_state(b_frames.shape[1] - 1, pd),
+        alpha, pd, hopsize)
     return y
 
 

@@ -117,9 +117,15 @@ class StreamingService:
                  frontend: Optional[Callable[
                      [np.ndarray], Tuple[np.ndarray, np.ndarray]]] = None,
                  devices: Optional[List] = None,
-                 max_pending: Optional[int] = None):
+                 max_pending: Optional[int] = None,
+                 postfilter_factory: Optional[Callable[[], object]] = None):
         self.params, self.cfg = params, cfg
         self.frontend = frontend
+        # factory returning a per-stream stateful post-filter with a
+        # .process(float_wav_chunk) method, applied by the TCP handler
+        # after mu-law decoding (e.g. dsp.emphasis.StreamingEmphasizer —
+        # the recipe's noise-restoration filter, applied while streaming)
+        self.postfilter_factory = postfilter_factory
         self.quantize = quantize
         self.max_streams = max_streams
         self.maxd, self.mode, self.seed = maxd, mode, seed
@@ -404,9 +410,14 @@ class _Handler(socketserver.StreamRequestHandler):
             except OSError:
                 pass                                 # client already gone
             return
+        postfilter = (svc.postfilter_factory()
+                      if svc.postfilter_factory else None)
         try:
             for chunk in handle.chunks():
-                pcm = np.clip(decode_mu_law(chunk, cfg.n_quantize) * 32768,
+                wav = decode_mu_law(chunk, cfg.n_quantize)
+                if postfilter is not None:           # e.g. noise restore
+                    wav = postfilter.process(wav)
+                pcm = np.clip(wav * 32768,
                               -32768, 32767).astype("<i2")
                 self.wfile.write(struct.pack("<I", len(pcm)) + pcm.tobytes())
             self.wfile.write(struct.pack("<I", 0))

@@ -82,3 +82,51 @@ def test_noise_shaping_round_trip():
     shaped_db = _welch_db(shaped, 256)
     assert np.abs((shaped_db - a)[sl]).mean() > 1.0, \
         "shaping had no spectral effect"
+
+
+def test_streaming_emphasizer_chunked_equals_one_shot():
+    """StreamingEmphasizer carries MLSA + FIR state across chunks:
+    irregular chunking equals the single-call output to f32 rounding
+    (different scan lengths compile to different FMA schedules, so
+    bitwise equality is not guaranteed), and tracks the whole-file
+    emphasize() pipeline."""
+    from qpnet_tpu.dsp.emphasis import StreamingEmphasizer, emphasize
+
+    rng = np.random.default_rng(0)
+    fs, alpha, shiftms = 16000, 0.41, 5.0
+    x = rng.normal(size=4096) * 0.3
+    mc = np.zeros(10)
+    mc[1:4] = [0.4, -0.2, 0.1]
+
+    one = StreamingEmphasizer(fs, mc, alpha, shiftms=shiftms)
+    y_one = one.process(x)
+
+    chunked = StreamingEmphasizer(fs, mc, alpha, shiftms=shiftms)
+    outs, start = [], 0
+    for L in (500, 1, 1595, 1000, 1000):
+        outs.append(chunked.process(x[start:start + L]))
+        start += L
+    assert start == len(x)
+    y_chunks = np.concatenate(outs)
+    np.testing.assert_allclose(y_chunks, y_one, atol=1e-6)
+
+    # tracks the batch pipeline (native C core vs f32 scan tolerance)
+    y_batch = emphasize(x, fs, mc, alpha, shiftms)
+    np.testing.assert_allclose(y_chunks, y_batch, atol=5e-4)
+
+
+def test_streaming_emphasizer_no_highpass():
+    from qpnet_tpu.dsp.emphasis import StreamingEmphasizer
+    from qpnet_tpu.dsp.mlsa import synthesis_diff
+
+    rng = np.random.default_rng(1)
+    fs, alpha, shiftms = 16000, 0.41, 5.0
+    x = rng.normal(size=2048) * 0.3
+    mc = np.zeros(8)
+    mc[1:3] = [0.3, -0.1]
+    se = StreamingEmphasizer(fs, mc, alpha, shiftms=shiftms,
+                             highpass=False)
+    y = np.concatenate([se.process(x[:700]), se.process(x[700:])])
+    F = int(len(x) / (fs * shiftms / 1000)) + 1
+    want = synthesis_diff(x, np.tile(mc, (F, 1)), alpha, shiftms, fs)
+    np.testing.assert_allclose(y, want, atol=5e-4)

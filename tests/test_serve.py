@@ -501,3 +501,45 @@ def test_max_pending_backpressure(model):
         svc.close()
     # the queued pair still completed on close-drain
     assert a.samples().shape == b.samples().shape == (2 * cfg.upsampling_factor,)
+
+
+def test_tcp_postfilter_applies_noise_restoration(model):
+    """postfilter_factory (the serving noise-restoration hook): the TCP
+    stream equals mu-law decode + a per-stream StreamingEmphasizer
+    applied chunk by chunk."""
+    from qpnet_tpu.dsp.emphasis import StreamingEmphasizer
+
+    cfg, params = model
+    fs, alpha = 1000, 0.41
+    mc = np.zeros(6)
+    mc[1:3] = [0.3, -0.15]
+    factory = lambda: StreamingEmphasizer(fs, mc, alpha, shiftms=5.0)  # noqa: E731
+
+    rng = np.random.default_rng(15)
+    Fc = StreamingGenerator(params, cfg, B=1, maxd=4, min_chunk_samples=40,
+                            interpret=True).chunk_frames
+    F = 2 * Fc + 1
+    h = rng.normal(size=(F, cfg.n_aux)).astype(np.float32)
+    d = np.full(F, 2.0, np.float32)
+
+    svc = make_service(cfg, params, max_streams=1,
+                       postfilter_factory=factory)
+    srv = serve_tcp(svc, port=0)
+    try:
+        got = np.concatenate(list(request_stream(srv.server_address, h, d)))
+        # reference computation: same mu-law chunks (deterministic argmax),
+        # same chunk boundaries, fresh filter state
+        mu_chunks = list(svc.submit(h, d).chunks())
+        pf = factory()
+        want = np.concatenate([
+            np.clip(pf.process(decode_mu_law(c, cfg.n_quantize)) * 32768,
+                    -32768, 32767).astype(np.int16) for c in mu_chunks])
+        np.testing.assert_array_equal(got, want)
+        # and it actually changed the audio vs the unfiltered stream
+        plain = np.concatenate([
+            np.clip(decode_mu_law(c, cfg.n_quantize) * 32768,
+                    -32768, 32767).astype(np.int16) for c in mu_chunks])
+        assert not np.array_equal(got, plain)
+    finally:
+        srv.shutdown()
+        svc.close()
