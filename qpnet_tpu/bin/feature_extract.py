@@ -44,6 +44,12 @@ def get_arguments(argv=None):
                         help="numpy = float64 host DSP (reference parity); "
                              "jax = device-batched CheapTrick/D4C "
                              "(single worker owns the accelerator)")
+    parser.add_argument("--f0_backend", default="host",
+                        choices=["host", "jax"],
+                        help="host = numpy harvest/dio (parity default); "
+                             "jax = device harvest — with --dsp_backend "
+                             "jax the whole analysis runs on device "
+                             "(harvest analyzer only)")
     parser.add_argument("--feature_format", default="h5", type=str)
     parser.add_argument("--fs", default=22050, type=int)
     parser.add_argument("--shiftms", default=5.0, type=float)
@@ -173,9 +179,12 @@ def world_feature_extract(wav_list, args):
     analyzer = WorldAnalyzer(fs=args.fs, shiftms=args.shiftms,
                              minf0=args.minf0, maxf0=args.maxf0,
                              fftl=args.fftl, f0_analyzer=args.f0_analyzer,
-                             backend=getattr(args, "dsp_backend", "numpy"))
+                             backend=getattr(args, "dsp_backend", "numpy"),
+                             f0_backend=getattr(args, "f0_backend", "host"))
     n = len(wav_list)
     f0_threads = getattr(args, "f0_threads", 0)
+    if analyzer.f0_backend == "jax":
+        f0_threads = 0          # F0 is on device too: nothing to overlap
     if analyzer.backend == "jax" and f0_threads > 1 and n > 1:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
@@ -294,6 +303,10 @@ def main(argv=None):
             args.f0_threads = min(args.n_jobs, os.cpu_count() or 1)
             logging.info("dsp_backend=jax: 1 worker process with %d "
                          "host F0 threads", args.f0_threads)
+            args.n_jobs = 1
+        if args.f0_backend == "jax" and args.n_jobs > 1:
+            logging.info("f0_backend=jax: 1 worker process owns the "
+                         "accelerator")
             args.n_jobs = 1
     else:
         target_fn, path_create = world_speech_synthesis, wavpath_create

@@ -31,13 +31,16 @@ class WorldAnalyzer:
     def __init__(self, fs: int = 22050, shiftms: float = 5.0,
                  minf0: float = 40.0, maxf0: float = 800.0,
                  fftl: int = 1024, f0_analyzer: str = "harvest",
-                 backend: str = "numpy"):
+                 backend: str = "numpy", f0_backend: str = "host"):
         self.f0_analyzer = f0_analyzer  # "harvest" (sprocket default) | "dio"
         # backend: "numpy" = float64 host path (reference-parity default);
         # "jax" = device-batched CheapTrick/D4C/mcep (float32; ~100x the
-        # host throughput on TPU — F0 tracking stays host-side, it is a
-        # sequential heuristic)
+        # host throughput on TPU)
+        # f0_backend: "host" = numpy harvest/dio (reference-parity
+        # default); "jax" = device harvest (dsp/world/jax_f0.py) — with
+        # backend="jax" the ENTIRE analysis pipeline runs on device
         self.backend = backend
+        self.f0_backend = f0_backend
         self.fs = fs
         self.shiftms = shiftms
         self.minf0 = minf0
@@ -49,10 +52,27 @@ class WorldAnalyzer:
         self._time_axis = None
 
     def estimate_f0(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """Host-side F0 track (harvest or dio+stonemask): (f0, time_axis).
-        Pure numpy — safe to run in worker threads overlapping the device
-        spectral stage (see analyze(f0_time=...))."""
+        """F0 track (harvest or dio+stonemask): (f0, time_axis).
+
+        f0_backend="host": pure numpy — safe to run in worker threads
+        overlapping the device spectral stage (see analyze(f0_time=...)).
+        f0_backend="jax": the device harvest (jax_f0.jax_harvest) with the
+        same whole-second length bucketing as analyze(), so the jitted
+        pipeline compiles once per duration bucket."""
         x = np.asarray(x, np.float64)
+        if self.f0_backend == "jax" and self.f0_analyzer == "harvest":
+            from qpnet_tpu.dsp.world.jax_f0 import jax_harvest
+            n = len(x)
+            F = int(n / (self.fs * self.shiftms / 1000.0)) + 1
+            secs = max(1, -(-n // self.fs))
+            x32 = np.zeros(secs * self.fs, np.float32)
+            x32[:n] = x
+            f0 = np.asarray(jax_harvest(
+                x32, self.fs, n_valid=n, f0_floor=float(self.minf0),
+                f0_ceil=float(self.maxf0),
+                frame_period=float(self.shiftms)), np.float64)[:F]
+            time_axis = np.arange(F) * (self.shiftms / 1000.0)
+            return f0, time_axis
         if self.f0_analyzer == "harvest":
             return harvest(x, self.fs, f0_floor=self.minf0,
                            f0_ceil=self.maxf0, frame_period=self.shiftms)

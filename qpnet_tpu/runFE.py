@@ -52,6 +52,11 @@ def get_arguments(argv=None):
                    help="step 2 spectral analysis: numpy = float64 host "
                         "pool (parity default); jax = device-batched "
                         "CheapTrick/D4C/mcep")
+    p.add_argument("--f0_backend", default="host",
+                   choices=["host", "jax"],
+                   help="step 2 F0: host = numpy harvest pool (parity "
+                        "default); jax = device harvest (whole pipeline "
+                        "on device with --dsp_backend jax)")
     return p.parse_args(argv)
 
 
@@ -122,6 +127,7 @@ def main(argv=None):
             "--save_extended", str(SAVE_EXTEND), "--save_vad", str(SAVE_VAD),
             "--overwrite", str(args.replace), "--inv", str(args.inverse),
             "--dsp_backend", args.dsp_backend,
+            "--f0_backend", args.f0_backend,
             "--n_jobs", str(args.n_jobs)])
 
     if args.step3:

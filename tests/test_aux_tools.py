@@ -111,3 +111,41 @@ def test_profiler_utils(tmp_path):
     assert len(timer.history) == 2
     stats = device_memory_stats()
     assert isinstance(stats, dict) and len(stats) >= 1
+
+
+def test_make_synth_corpus(tmp_path, capsys):
+    """The synthetic corpus generator produces the recipe's layout (wav/
+    subset/speaker, scp rootpath lists, curated conf) with signals whose
+    pitch the in-tree F0 stack actually recovers inside the conf range."""
+    from qpnet_tpu.dsp.world.harvest import harvest
+    from qpnet_tpu.tools import make_synth_corpus
+
+    cdir = str(tmp_path / "SYNTH")
+    spk_f0 = make_synth_corpus.make_corpus(
+        cdir, fs=16000, speakers=1, train_utts=2, update_utts=1,
+        valid_utts=1, eval_utts=1, seconds=1.0, seed=3)
+    (spk, f0_base), = spk_f0.items()
+
+    # layout + list inventory: 4 global + 4 per-speaker lists, every line
+    # rootpath-prefixed and resolvable against the corpus dir
+    for name in ["synthtr", "synthup", "synthva", "syntheval"]:
+        for scp in [f"{name}.scp", f"{name}_{spk}.scp"]:
+            lines = read_txt(os.path.join(cdir, "scp", scp))
+            assert lines, scp
+            for ln in lines:
+                assert ln.startswith("rootpath/wav/")
+                assert os.path.exists(
+                    os.path.join(cdir, ln.replace("rootpath/", "")))
+    conf = yaml.safe_load(
+        open(os.path.join(cdir, "conf", "pow_f0_dict.yml")))
+    assert conf[spk]["f0_min"] < f0_base < conf[spk]["f0_max"]
+
+    # the generated voice is trackable: harvest inside the conf range
+    # lands near the speaker's base pitch on a training utterance
+    tr = read_txt(os.path.join(cdir, "scp", "synthtr.scp"))
+    fs, x = wavfile.read(os.path.join(cdir, tr[0].replace("rootpath/", "")))
+    f0, _ = harvest(x / 32768.0, fs, f0_floor=conf[spk]["f0_min"],
+                    f0_ceil=conf[spk]["f0_max"])
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.4 * len(f0)
+    assert abs(np.median(voiced) - f0_base) / f0_base < 0.15

@@ -1,0 +1,120 @@
+"""Device-side F0 (jax_harvest): ground-truth tracking, unvoiced
+rejection, padding support, and agreement with the host harvest
+implementation (dsp/world/harvest.py).
+
+All signals share one (length, fs, search-range) signature so the jitted
+pipeline compiles once for the module.
+"""
+
+import numpy as np
+import pytest
+
+from qpnet_tpu.dsp.world.harvest import harvest
+from qpnet_tpu.dsp.world.jax_f0 import jax_harvest
+
+FS = 16000
+N = int(1.0 * FS)
+KW = dict(f0_floor=90.0, f0_ceil=400.0, channels_in_octave=24.0)
+
+
+def _run(x, n_valid=None):
+    return np.asarray(jax_harvest(np.asarray(x, np.float32), FS,
+                                  n_valid=n_valid, **KW))
+
+
+def _vibrato(f0_base=140.0, amp_h2=0.4, noise=0.02, seed=0, n=N):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / FS
+    f0 = f0_base + 5.0 * np.sin(2 * np.pi * 5.0 * t)
+    phase = 2 * np.pi * np.cumsum(f0) / FS
+    x = np.sin(phase) + amp_h2 * np.sin(2 * phase + 1.0)
+    return x + noise * rng.standard_normal(n), f0
+
+
+def test_vibrato_tone_tracking():
+    x, f0_true = _vibrato()
+    f0 = _run(x)
+    F = len(f0)
+    ft = f0_true[np.clip((np.arange(F) * 0.005 * FS).astype(int),
+                         0, len(f0_true) - 1)]
+    voiced = f0 > 0
+    assert voiced.mean() > 0.9
+    err = (f0 - ft)[voiced]
+    assert np.sqrt((err ** 2).mean()) < 2.0
+
+
+def test_noise_is_unvoiced():
+    rng = np.random.default_rng(1)
+    f0 = _run(0.1 * rng.standard_normal(N))
+    assert (f0 > 0).mean() < 0.1
+
+
+def test_padding_with_n_valid():
+    """Zero-padding with n_valid tracks the same pitch over the true span
+    and stays unvoiced in the pad region."""
+    n_true = int(0.6 * FS)
+    x, f0_true = _vibrato(n=n_true)
+    xp = np.zeros(N)
+    xp[:n_true] = x
+    f0 = _run(xp, n_valid=n_true)
+    F_true = int(n_true / (FS * 0.005))
+    head = f0[: F_true - 6]          # clear of the pad boundary
+    assert (head > 0).mean() > 0.85
+    ft = f0_true[np.clip((np.arange(len(head)) * 0.005 * FS).astype(int),
+                         0, n_true - 1)]
+    err = (head - ft)[head > 0]
+    assert np.sqrt((err ** 2).mean()) < 2.5
+    tail = f0[F_true + 6:]
+    assert (tail > 0).mean() < 0.05
+
+
+def test_agreement_with_host_harvest():
+    """On a speech-like utterance (formant-filtered harmonics with an
+    unvoiced span), device and host pipelines agree on voicing and pitch."""
+    from qpnet_tpu.tools.make_synth_corpus import synth_utterance
+    rng = np.random.default_rng(5)
+    x = synth_utterance(rng, FS, N / FS, 150.0)[:N]
+    f0_dev = _run(x)
+    f0_host, _ = harvest(x, FS, f0_floor=KW["f0_floor"],
+                         f0_ceil=KW["f0_ceil"],
+                         channels_in_octave=KW["channels_in_octave"])
+    n = min(len(f0_dev), len(f0_host))
+    vd, vh = f0_dev[:n] > 0, f0_host[:n] > 0
+    both = vd & vh
+    # voicing agreement (the estimators differ in candidate interpolation,
+    # so boundaries may shift a frame or two)
+    assert (vd == vh).mean() > 0.85, (vd.mean(), vh.mean())
+    assert both.sum() > 0.4 * n
+    diff = np.abs(f0_dev[:n][both] - f0_host[:n][both])
+    assert np.median(diff) < 2.0
+    assert (diff < 10.0).mean() > 0.9
+
+
+def test_unvoiced_cost_tradeoff():
+    """A weak signal buried in noise stays mostly unvoiced; the same tone
+    clean is voiced — the Viterbi's voicing decision responds to evidence,
+    not just signal presence."""
+    x, _ = _vibrato(noise=0.0, amp_h2=0.0)
+    rng = np.random.default_rng(2)
+    weak = 0.03 * x + rng.standard_normal(N)
+    assert (_run(weak) > 0).mean() < 0.5
+    assert (_run(x) > 0).mean() > 0.9
+
+
+def test_world_analyzer_f0_backend_jax():
+    """WorldAnalyzer(f0_backend='jax') slots the device F0 into the same
+    estimate_f0 contract (shape, time axis, range clamping) and lands on
+    the host track."""
+    from qpnet_tpu.dsp.world import WorldAnalyzer
+    x, _ = _vibrato(seed=9)
+    dev = WorldAnalyzer(fs=FS, minf0=KW["f0_floor"], maxf0=KW["f0_ceil"],
+                        f0_backend="jax")
+    host = WorldAnalyzer(fs=FS, minf0=KW["f0_floor"], maxf0=KW["f0_ceil"])
+    f0_d, t_d = dev.estimate_f0(x)
+    f0_h, t_h = host.estimate_f0(x)
+    assert f0_d.shape == f0_h.shape and np.allclose(t_d, t_h)
+    voiced = (f0_d > 0) & (f0_h > 0)
+    assert voiced.mean() > 0.85
+    assert np.median(np.abs(f0_d[voiced] - f0_h[voiced])) < 1.0
+    assert ((f0_d == 0) | ((f0_d >= KW["f0_floor"])
+                          & (f0_d <= KW["f0_ceil"]))).all()
