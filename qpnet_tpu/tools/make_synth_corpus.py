@@ -162,9 +162,14 @@ def make_corpus(corpus_dir: str, fs: int = 22050, speakers: int = 2,
                      "f0_max": int(f0_base * 1.6),
                      "pow_th": -40}
         per_spk[spk] = {"tr": [], "up": [], "va": [], "ev": []}
+        # reference convention (corpus/VCC2018/scp): the SD update and
+        # validation utterances are drawn FROM the training subset and
+        # appear in the global training list (vcc18up/vcc18va are subsets
+        # of vcc18tr) — so run_FE stage 4's noise shaping over the
+        # training list covers everything the trainers will read
         subsets = [("tr", "synth_training", 0, train_utts),
-                   ("up", "synth_update", 100, update_utts),
-                   ("va", "synth_update", 200, valid_utts),
+                   ("up", "synth_training", 100, update_utts),
+                   ("va", "synth_training", 200, valid_utts),
                    ("ev", "synth_evaluation", 300, eval_utts)]
         for key, subset, base, count in subsets:
             for i in range(count):
@@ -174,6 +179,9 @@ def make_corpus(corpus_dir: str, fs: int = 22050, speakers: int = 2,
                 _write_wav(os.path.join(corpus_dir, rel), x, fs)
                 lists[key].append("rootpath/" + rel)
                 per_spk[spk][key].append("rootpath/" + rel)
+                if key in ("up", "va"):
+                    lists["tr"].append("rootpath/" + rel)
+                    per_spk[spk]["tr"].append("rootpath/" + rel)
 
     names = {"tr": "synthtr", "up": "synthup", "va": "synthva",
              "ev": "syntheval"}

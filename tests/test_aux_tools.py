@@ -140,6 +140,16 @@ def test_make_synth_corpus(tmp_path, capsys):
         open(os.path.join(cdir, "conf", "pow_f0_dict.yml")))
     assert conf[spk]["f0_min"] < f0_base < conf[spk]["f0_max"]
 
+    # reference containment convention: update + validation utterances
+    # are subsets of the global training list (so run_FE stage 4's noise
+    # shaping over synthtr.scp covers every wav the trainers read)
+    tr_set = set(read_txt(os.path.join(cdir, "scp", "synthtr.scp")))
+    for name in ["synthup", "synthva"]:
+        assert set(read_txt(os.path.join(cdir, "scp",
+                                         f"{name}.scp"))) <= tr_set
+    assert not set(read_txt(
+        os.path.join(cdir, "scp", "syntheval.scp"))) & tr_set
+
     # the generated voice is trackable: harvest inside the conf range
     # lands near the speaker's base pitch on a training utterance
     tr = read_txt(os.path.join(cdir, "scp", "synthtr.scp"))
