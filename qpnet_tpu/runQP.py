@@ -286,6 +286,16 @@ def main(argv=None):
                 "--max_length", str(net_spec["max_length"]),
                 "--verbose", "1"])
         remove_temp_file([validwaveforms, validaux_feats])
+        # the reference leaves picking the best iteration to a human
+        # reading the yml (run_QP.sh:62-71 comment); also print it
+        import yaml
+        with open(os.path.join(expdir, "validation_result.yml")) as f:
+            results = yaml.safe_load(f) or {}
+        if results:
+            best = min(results, key=results.get)
+            best_it = best.split("-")[-1].split(".")[0]
+            print(f"best iteration: {best_it} "
+                  f"(loss {results[best]:.4f}) -> decode with -M {best_it}")
 
 
 if __name__ == "__main__":

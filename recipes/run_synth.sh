@@ -11,7 +11,7 @@
 #   c: generate the synthetic corpus (wav + scp + conf)
 #   f: feature extraction (train/update/valid/eval) + stats + noise shaping
 #   t: SI training
-#   a: SD adaptation + validation sweep (per speaker)
+#   a: SD adaptation + validation sweep + decode at the best iteration
 #   d: SI decode + noise restore (per speaker)
 #   s: F0-scaled decode (factor --f0factor, default 1.5)
 #   e: objective evaluation (MCD / F0-RMSE / V-UV vs the source wavs)
@@ -74,14 +74,25 @@ if [[ $stage == *t* ]]; then
   $QP -I "$iters" -1
 fi
 
+model="Asynthtr_Wsynthtr_d${dense}"
+
 if [[ $stage == *a* ]]; then
   for spk in $spks; do
     $QP -x "synthup_${spk}.scp" -u "synthup_${spk}.scp" -U "$uiters" -2
     $QP -x "synthup_${spk}.scp" -u "synthup_${spk}.scp" \
         -y "synthva_${spk}.scp" -v "synthva_${spk}.scp" -U "$uiters" -5
+    # decode the SD model at the sweep's best iteration (the step the
+    # reference leaves to a human reading validation_result.yml)
+    sd="${model}_Usynthup_${spk}_Vsynthup_${spk}"
+    best=$(python -c "
+import yaml
+r = yaml.safe_load(open('$prj/qpnet_models/$sd/validation_result.yml'))
+b = min(r, key=r.get)
+print(b.split('-')[-1].split('.')[0])")
+    echo "== $spk: decoding SD checkpoint-$best =="
+    $QP -r -x "synthup_${spk}.scp" -u "synthup_${spk}.scp" \
+        -e "syntheval_${spk}.scp" -M "$best" -3 -4 "$spk"
   done
-  echo "validation_result.yml written per SD expdir; decode the best" \
-       "iteration with run_QP-style -M <iter>."
 fi
 
 if [[ $stage == *d* ]]; then
@@ -97,11 +108,19 @@ if [[ $stage == *s* ]]; then
 fi
 
 if [[ $stage == *e* ]]; then
-  model="Asynthtr_Wsynthtr_d${dense}"
   for spk in $spks; do
-    echo "== $spk decoded-vs-source =="
+    echo "== $spk SI decoded-vs-source =="
     python -m qpnet_tpu.tools.evaluate \
       --ref_wavs "$corpus_dir/wav/synth_evaluation/$spk" \
       --gen_wavs "$prj/qpnet_output/$model/restored/$spk/final"
+    sd="${model}_Usynthup_${spk}_Vsynthup_${spk}"
+    sd_out=$(ls -d "$prj/qpnet_output/$sd/restored/$spk"/* 2>/dev/null \
+             | head -1)
+    if [ -n "$sd_out" ]; then
+      echo "== $spk SD decoded-vs-source ($(basename "$sd_out")) =="
+      python -m qpnet_tpu.tools.evaluate \
+        --ref_wavs "$corpus_dir/wav/synth_evaluation/$spk" \
+        --gen_wavs "$sd_out"
+    fi
   done
 fi

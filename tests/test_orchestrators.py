@@ -123,7 +123,7 @@ def test_runqp_stages(prj, monkeypatch):
 
 
 @pytest.mark.slow
-def test_runqp_stage5_validation_sweep(prj):
+def test_runqp_stage5_validation_sweep(prj, capsys):
     """Stage 5: the SD validation sweep writes {checkpoint: loss} to
     validation_result.yml in the SD expdir (reference run_QP.sh stage 2 /
     qpnet_validate.py:409-437) — the mechanism a user relies on to pick
@@ -156,3 +156,6 @@ def test_runqp_stage5_validation_sweep(prj):
         res = yaml.safe_load(f)
     assert "checkpoint-100.pkl" in res
     assert np.isfinite(res["checkpoint-100.pkl"])
+    # the sweep ends by naming the best iteration (run_synth.sh stage a
+    # parses the same yml to decode it automatically)
+    assert "best iteration: 100" in capsys.readouterr().out
