@@ -129,10 +129,15 @@ def main(argv=None):
         aux_feats, waveforms = _get_list(scp_dir + args.auxlist,
                                          scp_dir + args.wavlist,
                                          model_version, "training")
-        resume = (expdir + f"checkpoint-{args.resume}.pkl"
-                  if args.resume else "None")
-        if resume != "None":
-            path_check([resume])
+        # -R <iter> resumes from that checkpoint; -R auto resumes from
+        # the newest checkpoint in the expdir (trainer-side autoresume)
+        if args.resume == "auto":
+            resume = "auto"
+        else:
+            resume = (expdir + f"checkpoint-{args.resume}.pkl"
+                      if args.resume else "None")
+            if resume != "None":
+                path_check([resume])
         from qpnet_tpu.bin import qpnet_train
         qpnet_train.main([
             "--waveforms", waveforms, "--feats", aux_feats,
@@ -185,8 +190,11 @@ def main(argv=None):
                                         update_interval)
             if steps[2]:
                 path_check([pretrain])
-                resume = (expdir + f"checkpoint-{args.resume}.pkl"
-                          if args.resume else "None")
+                if args.resume == "auto":
+                    resume = "auto"
+                else:
+                    resume = (expdir + f"checkpoint-{args.resume}.pkl"
+                              if args.resume else "None")
                 from qpnet_tpu.bin import qpnet_update
                 qpnet_update.main([
                     "--waveforms", upwaveforms, "--feats", upaux_feats,

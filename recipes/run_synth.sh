@@ -35,6 +35,7 @@ f0factor=1.5
 dsp_backend=numpy
 f0_backend=host
 decode_batch_size=
+resume=
 seed=0
 
 . "$(dirname "$0")/parse_options.sh" || exit 1
@@ -71,7 +72,8 @@ if [[ $stage == *f* ]]; then
 fi
 
 if [[ $stage == *t* ]]; then
-  $QP -I "$iters" -1
+  # --resume auto picks up the newest checkpoint after an interruption
+  $QP -I "$iters" ${resume:+-R "$resume"} -1
 fi
 
 model="Asynthtr_Wsynthtr_d${dense}"

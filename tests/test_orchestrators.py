@@ -159,3 +159,26 @@ def test_runqp_stage5_validation_sweep(prj, capsys):
     # the sweep ends by naming the best iteration (run_synth.sh stage a
     # parses the same yml to decode it automatically)
     assert "best iteration: 100" in capsys.readouterr().out
+
+
+def test_runqp_resume_auto_passthrough(prj, monkeypatch):
+    """-R auto reaches the trainer verbatim (trainer-side autoresume picks
+    the newest checkpoint); -R <iter> still resolves to the expdir path."""
+    from qpnet_tpu import runQP
+
+    seen = {}
+
+    def fake_train(argv):
+        seen["resume"] = argv[argv.index("--resume") + 1]
+
+    monkeypatch.setattr("qpnet_tpu.bin.qpnet_train.main", fake_train)
+    # runQP's startup path_check needs the stats file to exist (this test
+    # may run before the FE-stage tests that produce the real one)
+    stats = os.path.join(prj, "corpus/MINI/stats/minitr_stats.h5")
+    if not os.path.exists(stats):
+        os.makedirs(os.path.dirname(stats), exist_ok=True)
+        open(stats, "wb").close()
+    base = ["--prj_dir", prj, "--corpus", "MINI", "--n_jobs", "1",
+            "-f", str(FS), "-w", "minitr.scp", "-a", "minitr.scp"]
+    runQP.main(base + ["-I", "4", "-R", "auto", "-1"])
+    assert seen["resume"] == "auto"
