@@ -304,7 +304,14 @@ def main(argv=None):
             logging.info("dsp_backend=jax: 1 worker process with %d "
                          "host F0 threads", args.f0_threads)
             args.n_jobs = 1
-        if args.f0_backend == "jax" and args.n_jobs > 1:
+        if args.f0_backend == "jax" and args.f0_analyzer != "harvest":
+            # device F0 implements harvest only — keep the host pool
+            # rather than silently serializing a host-DIO run
+            logging.warning("f0_backend=jax supports --f0_analyzer "
+                            "harvest only; using the host %s pool",
+                            args.f0_analyzer)
+            args.f0_backend = "host"
+        elif args.f0_backend == "jax" and args.n_jobs > 1:
             logging.info("f0_backend=jax: 1 worker process owns the "
                          "accelerator")
             args.n_jobs = 1

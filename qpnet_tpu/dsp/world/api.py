@@ -27,6 +27,18 @@ from qpnet_tpu.dsp.world.stonemask import stonemask
 from qpnet_tpu.dsp.world.synthesis import synthesize
 
 
+def _bucket_pad_signal(x: np.ndarray, fs: int) -> Tuple[np.ndarray, int]:
+    """Zero-pad to a whole-second bucket as float32: (x32, n_valid).
+
+    Both the device F0 and the device spectral stages pad with THIS ONE
+    helper so their jits share compile signatures per duration bucket."""
+    n = len(x)
+    secs = max(1, -(-n // fs))
+    x32 = np.zeros(secs * fs, np.float32)
+    x32[:n] = x
+    return x32, n
+
+
 class WorldAnalyzer:
     def __init__(self, fs: int = 22050, shiftms: float = 5.0,
                  minf0: float = 40.0, maxf0: float = 800.0,
@@ -60,13 +72,17 @@ class WorldAnalyzer:
         same whole-second length bucketing as analyze(), so the jitted
         pipeline compiles once per duration bucket."""
         x = np.asarray(x, np.float64)
+        if self.f0_backend == "jax" and self.f0_analyzer != "harvest":
+            import logging
+            logging.warning("f0_backend='jax' implements the harvest "
+                            "analyzer only; falling back to the host %s "
+                            "estimator", self.f0_analyzer)
+            self.f0_backend = "host"
         if self.f0_backend == "jax" and self.f0_analyzer == "harvest":
             from qpnet_tpu.dsp.world.jax_f0 import jax_harvest
             n = len(x)
             F = int(n / (self.fs * self.shiftms / 1000.0)) + 1
-            secs = max(1, -(-n // self.fs))
-            x32 = np.zeros(secs * self.fs, np.float32)
-            x32[:n] = x
+            x32, _ = _bucket_pad_signal(x, self.fs)
             f0 = np.asarray(jax_harvest(
                 x32, self.fs, n_valid=n, f0_floor=float(self.minf0),
                 f0_ceil=float(self.maxf0),
@@ -98,13 +114,10 @@ class WorldAnalyzer:
             # bucket signal/frame lengths to whole seconds so the jitted
             # analysis compiles once per duration bucket instead of once
             # per utterance; n_valid masks the zero pad exactly
-            n = len(x)
-            secs = max(1, -(-n // self.fs))
-            n_pad = secs * self.fs
+            x32, n = _bucket_pad_signal(x, self.fs)
+            secs = len(x32) // self.fs
             frames_per_sec = int(round(1000.0 / self.shiftms))
             F_pad = max(F, secs * frames_per_sec + 1)
-            x32 = np.zeros(n_pad, np.float32)
-            x32[:n] = x
             f32 = np.zeros(F_pad, np.float32)
             f32[:F] = f0
             t32 = np.arange(F_pad, dtype=np.float32) * (self.shiftms / 1000)

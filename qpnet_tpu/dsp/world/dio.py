@@ -38,6 +38,23 @@ def _smooth_even_length(n: int) -> int:
         m += 2
 
 
+def decimation_plan(n: int, fs: int, f0_ceil: float,
+                    oversample: float = 10.0) -> Tuple[int, int, float, int]:
+    """Static geometry of the f0-ceiling decimation: (fftl, m, fs_d, n_d).
+
+    m == fftl means "no decimation".  Shared by the host path below and
+    the device pipeline (jax_f0), which bakes the plan in at trace time.
+    """
+    fftl = next_pow2(n)
+    target = oversample * f0_ceil
+    if target >= fs:
+        return fftl, fftl, float(fs), n
+    m = _smooth_even_length(int(np.ceil(fftl * target / fs)))
+    if m >= fftl:
+        return fftl, fftl, float(fs), n
+    return fftl, m, fs * m / fftl, int(n * m / fftl)
+
+
 def decimate_for_f0(x: np.ndarray, fs: int, f0_ceil: float,
                     oversample: float = 10.0) -> Tuple[np.ndarray, float]:
     """FFT brick-wall decimation of `x` to ~oversample*f0_ceil Hz.
@@ -48,18 +65,12 @@ def decimate_for_f0(x: np.ndarray, fs: int, f0_ceil: float,
     input (harvest.cc GetRawF0Candidates) for the default 800 Hz ceiling.
     Returns (x_decimated, fs_decimated); a no-op when fs is already low.
     """
-    target = oversample * f0_ceil
-    if target >= fs:
-        return x, float(fs)
     n = len(x)
-    fftl = next_pow2(n)
-    m = _smooth_even_length(int(np.ceil(fftl * target / fs)))
+    fftl, m, fs_d, n_d = decimation_plan(n, fs, f0_ceil, oversample)
     if m >= fftl:
         return x, float(fs)
-    fs_d = fs * m / fftl
     X = np.fft.rfft(x, fftl)
     xd = np.fft.irfft(X[: m // 2 + 1], m) * (m / fftl)
-    n_d = int(n * m / fftl)
     return xd[:n_d], fs_d
 
 
@@ -126,15 +137,24 @@ class _SpectrumCache:
         filter FFT at the signal grid (the per-channel coarse-grid rfft +
         interp of _response dominated once the signal itself was
         decimated)."""
-        kernels = np.zeros((len(boundary_f0s), self.fftl))
-        for c, boundary_f0 in enumerate(boundary_f0s):
-            half = int(round(self.fs / boundary_f0 / 2.0))
-            w = nuttall(half * 2 + 1)
-            t = np.arange(-half, half + 1)
-            lpf = np.sinc(2 * boundary_f0 * t / self.fs) * w
-            lpf /= lpf.sum()
-            kernels[c, t % self.fftl] = lpf       # centered at sample 0
-        return np.fft.rfft(kernels, axis=-1).real
+        return band_lowpass_responses(boundary_f0s, self.fs, self.fftl)
+
+
+def band_lowpass_responses(boundary_f0s, fs: float,
+                           fftl: int) -> np.ndarray:
+    """(n_ch, fftl//2+1) zero-phase Nuttall-windowed-sinc band low-pass
+    responses on the signal grid — the candidate filter bank shared by
+    the host estimators (via _SpectrumCache) and the device pipeline
+    (jax_f0, where it is a trace-time constant)."""
+    kernels = np.zeros((len(boundary_f0s), fftl))
+    for c, boundary_f0 in enumerate(boundary_f0s):
+        half = int(round(fs / boundary_f0 / 2.0))
+        w = nuttall(half * 2 + 1)
+        t = np.arange(-half, half + 1)
+        lpf = np.sinc(2 * boundary_f0 * t / fs) * w
+        lpf /= lpf.sum()
+        kernels[c, t % fftl] = lpf           # centered at sample 0
+    return np.fft.rfft(kernels, axis=-1).real
 
 
 def _band_lowpass(x: np.ndarray, fs: int, boundary_f0: float) -> np.ndarray:

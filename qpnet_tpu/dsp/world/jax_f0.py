@@ -43,46 +43,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qpnet_tpu.dsp.world.common import next_pow2, nuttall
-from qpnet_tpu.dsp.world.dio import _smooth_even_length
+from qpnet_tpu.dsp.world.common import next_pow2
+from qpnet_tpu.dsp.world.dio import band_lowpass_responses, decimation_plan
 
 _NEG = -1e30
 _POS = 1e30
 
 
 # ---------------------------------------------------------------------------
-# trace-time constants: decimation geometry + band filter bank
+# trace-time constants: the decimation geometry and candidate filter bank
+# are the host estimators' own (dio.decimation_plan /
+# band_lowpass_responses), computed in numpy while tracing
 # ---------------------------------------------------------------------------
 
-def _decim_plan(n: int, fs: int, f0_ceil: float, oversample: float = 10.0):
-    """Static decimation plan (mirrors dio.decimate_for_f0)."""
-    target = oversample * f0_ceil
-    fftl = next_pow2(n)
-    if target >= fs:
-        return fftl, fftl, float(fs), n
-    m = _smooth_even_length(int(np.ceil(fftl * target / fs)))
-    if m >= fftl:
-        return fftl, fftl, float(fs), n
-    fs_d = fs * m / fftl
-    n_d = int(n * m / fftl)
-    return fftl, m, fs_d, n_d
-
-
 def _band_bank(n_d: int, fs_d: float, boundaries: np.ndarray):
-    """(n_ch, fftl_d//2+1) float32 zero-phase band low-pass responses —
-    a pure function of the geometry, computed in numpy at trace time."""
+    """(fftl_d, (n_ch, fftl_d//2+1) float32 responses) sized like
+    dio._SpectrumCache: padded past the longest (lowest-band) filter."""
     max_half = int(round(fs_d / boundaries[0] / 2.0))
     fftl_d = next_pow2(n_d + 2 * max_half + 1)
-    kernels = np.zeros((len(boundaries), fftl_d))
-    for c, bf in enumerate(boundaries):
-        half = int(round(fs_d / bf / 2.0))
-        w = nuttall(half * 2 + 1)
-        t = np.arange(-half, half + 1)
-        lpf = np.sinc(2 * bf * t / fs_d) * w
-        lpf /= lpf.sum()
-        kernels[c, t % fftl_d] = lpf
-    H = np.fft.rfft(kernels, axis=-1).real.astype(np.float32)
-    return fftl_d, H
+    H = band_lowpass_responses(boundaries, fs_d, fftl_d)
+    return fftl_d, H.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -267,9 +247,12 @@ def _viterbi(refined: jnp.ndarray, score: jnp.ndarray,
         s_prev = bp_t[s]
         return s_prev, s
 
-    _, states_rev = jax.lax.scan(back_step, s_last, jnp.flip(back, axis=0))
+    # back[t] maps frame-(t+1) states to their frame-t predecessors, so
+    # the reversed scan emits [state_{F-1} .. state_1] and its FINAL
+    # CARRY is state_0 — it belongs at the front, not s_last at the back
+    s0, states_rev = jax.lax.scan(back_step, s_last, jnp.flip(back, axis=0))
     states = jnp.concatenate(
-        [jnp.flip(states_rev), jnp.array([s_last])])    # (F,)
+        [s0[None], jnp.flip(states_rev)])               # (F,)
     f0 = jnp.where(states > 0,
                    jnp.take_along_axis(
                        refined, jnp.maximum(states[:, None] - 1, 0),
@@ -325,7 +308,7 @@ def jax_harvest(x: jnp.ndarray, fs: int, n_valid=None,
     frame_times = jnp.arange(F) * (frame_period / 1000.0)
 
     # low-cut (50 Hz) + decimation in one spectrum pass
-    fftl, m, fs_d, n_d = _decim_plan(n, fs, f0_ceil)
+    fftl, m, fs_d, n_d = decimation_plan(n, fs, f0_ceil)
     X = jnp.fft.rfft(x, fftl)
     f = jnp.fft.rfftfreq(fftl, 1.0 / fs)
     gain = jnp.clip((f - 25.0) / 25.0, 0.0, 1.0)        # 50 Hz low-cut

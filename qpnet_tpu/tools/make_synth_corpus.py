@@ -167,10 +167,13 @@ def make_corpus(corpus_dir: str, fs: int = 22050, speakers: int = 2,
         # appear in the global training list (vcc18up/vcc18va are subsets
         # of vcc18tr) — so run_FE stage 4's noise shaping over the
         # training list covers everything the trainers will read
+        # cumulative numbering blocks so no subset can overwrite another
+        # regardless of the requested counts
         subsets = [("tr", "synth_training", 0, train_utts),
-                   ("up", "synth_training", 100, update_utts),
-                   ("va", "synth_training", 200, valid_utts),
-                   ("ev", "synth_evaluation", 300, eval_utts)]
+                   ("up", "synth_training", train_utts, update_utts),
+                   ("va", "synth_training", train_utts + update_utts,
+                    valid_utts),
+                   ("ev", "synth_evaluation", 0, eval_utts)]
         for key, subset, base, count in subsets:
             for i in range(count):
                 dur = seconds * (0.7 + 0.6 * rng.random())

@@ -78,6 +78,18 @@ fi
 
 model="Asynthtr_Wsynthtr_d${dense}"
 
+# best adaptation iteration for a speaker, from the sweep's yml (the
+# same selection runQP step 5 prints)
+best_iter() {
+  python -c "
+import yaml
+r = yaml.safe_load(open(
+    '$prj/qpnet_models/${model}_Usynthup_$1_Vsynthup_$1/'
+    'validation_result.yml'))
+b = min(r, key=r.get)
+print(b.split('-')[-1].split('.')[0])"
+}
+
 if [[ $stage == *a* ]]; then
   for spk in $spks; do
     $QP -x "synthup_${spk}.scp" -u "synthup_${spk}.scp" -U "$uiters" -2
@@ -85,12 +97,7 @@ if [[ $stage == *a* ]]; then
         -y "synthva_${spk}.scp" -v "synthva_${spk}.scp" -U "$uiters" -5
     # decode the SD model at the sweep's best iteration (the step the
     # reference leaves to a human reading validation_result.yml)
-    sd="${model}_Usynthup_${spk}_Vsynthup_${spk}"
-    best=$(python -c "
-import yaml
-r = yaml.safe_load(open('$prj/qpnet_models/$sd/validation_result.yml'))
-b = min(r, key=r.get)
-print(b.split('-')[-1].split('.')[0])")
+    best=$(best_iter "$spk")
     echo "== $spk: decoding SD checkpoint-$best =="
     $QP -r -x "synthup_${spk}.scp" -u "synthup_${spk}.scp" \
         -e "syntheval_${spk}.scp" -M "$best" -3 -4 "$spk"
@@ -116,13 +123,15 @@ if [[ $stage == *e* ]]; then
       --ref_wavs "$corpus_dir/wav/synth_evaluation/$spk" \
       --gen_wavs "$prj/qpnet_output/$model/restored/$spk/final"
     sd="${model}_Usynthup_${spk}_Vsynthup_${spk}"
-    sd_out=$(ls -d "$prj/qpnet_output/$sd/restored/$spk"/* 2>/dev/null \
-             | head -1)
-    if [ -n "$sd_out" ]; then
-      echo "== $spk SD decoded-vs-source ($(basename "$sd_out")) =="
-      python -m qpnet_tpu.tools.evaluate \
-        --ref_wavs "$corpus_dir/wav/synth_evaluation/$spk" \
-        --gen_wavs "$sd_out"
+    if [ -f "$prj/qpnet_models/$sd/validation_result.yml" ]; then
+      best=$(best_iter "$spk")
+      sd_out="$prj/qpnet_output/$sd/restored/$spk/$best"
+      if [ -d "$sd_out" ]; then
+        echo "== $spk SD decoded-vs-source (checkpoint-$best) =="
+        python -m qpnet_tpu.tools.evaluate \
+          --ref_wavs "$corpus_dir/wav/synth_evaluation/$spk" \
+          --gen_wavs "$sd_out"
+      fi
     fi
   done
 fi

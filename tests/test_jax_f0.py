@@ -118,3 +118,48 @@ def test_world_analyzer_f0_backend_jax():
     assert np.median(np.abs(f0_d[voiced] - f0_h[voiced])) < 1.0
     assert ((f0_d == 0) | ((f0_d >= KW["f0_floor"])
                           & (f0_d <= KW["f0_ceil"]))).all()
+
+
+def test_viterbi_backtrack_oracle():
+    """_viterbi against a brute-force numpy Viterbi on a track whose
+    optimal path switches candidate slots mid-way — pins the backtrack
+    frame alignment (a reversed-scan off-by-one shifted every state
+    switch one frame early)."""
+    from qpnet_tpu.dsp.world.jax_f0 import _viterbi
+
+    F, K = 12, 2
+    tc, uc = 8.0, 0.35
+    rng = np.random.default_rng(3)
+    refined = np.zeros((F, K), np.float32)
+    score = np.zeros((F, K), np.float32)
+    # slot 0 strong for the first half, slot 1 strong for the second;
+    # both slots always present so the path must *switch*, not revoice
+    refined[:, 0], refined[:, 1] = 100.0, 105.0
+    score[:6, 0], score[:6, 1] = 0.9, 0.4
+    score[6:, 0], score[6:, 1] = 0.4, 0.9
+    score += rng.uniform(0, 0.01, score.shape).astype(np.float32)
+
+    f0 = np.asarray(_viterbi(refined, score, tc, uc))
+
+    # brute force over all (K+1)^F paths is 3^12 = 531k — small enough
+    S = K + 1
+    import itertools
+    emits = np.full((F, S), np.inf)
+    emits[:, 0] = uc
+    emits[:, 1:] = 1.0 - score
+    logf = np.log(refined)
+    best_cost, best_path = np.inf, None
+    for path in itertools.product(range(S), repeat=F):
+        c = emits[0, path[0]]
+        for t in range(1, F):
+            s, p = path[t], path[t - 1]
+            if s == 0 or p == 0:
+                c += 0.0 if (s == 0 and p == 0) else uc
+            else:
+                c += tc * abs(logf[t, s - 1] - logf[t - 1, p - 1])
+            c += emits[t, s]
+        if c < best_cost:
+            best_cost, best_path = c, path
+    expect = np.array([0.0 if s == 0 else refined[t, s - 1]
+                       for t, s in enumerate(best_path)])
+    np.testing.assert_allclose(f0, expect, rtol=1e-6)
