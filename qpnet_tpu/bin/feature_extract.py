@@ -124,23 +124,38 @@ def _smoothed_cont_f0(f0, shiftms):
     return uv, smoothed
 
 
+def _use_fused_analysis(analyzer, args):
+    """One-dispatch full extraction applies when every stage is on device
+    and the raw spc/ap arrays are not requested as outputs."""
+    return (analyzer.backend == "jax" and analyzer.f0_backend == "jax"
+            and analyzer.f0_analyzer == "harvest"
+            and not (args.save_ap or args.save_spc))
+
+
 def _analyze_and_write(analyzer, args, x, f0_time, feat_name):
     """Device/host spectral stage + dataset writes for one utterance."""
-    f0, spc, ap = analyzer.analyze(x, f0_time=f0_time)
-    codeap = analyzer.codeap()
-    mcep = analyzer.mcep(dim=args.mcep_dim, alpha=args.mcep_alpha)
-    npow = analyzer.npow()
+    if _use_fused_analysis(analyzer, args):
+        out = analyzer.extract_all(x, dim=args.mcep_dim,
+                                   alpha=args.mcep_alpha)
+        f0, mcep = out["f0"], out["mcep"]
+        codeap, npow = out["codeap"], out["npow"]
+    else:
+        f0, spc, ap = analyzer.analyze(x, f0_time=f0_time)
+        codeap = analyzer.codeap()
+        mcep = analyzer.mcep(dim=args.mcep_dim, alpha=args.mcep_alpha)
+        npow = analyzer.npow()
+        if args.save_ap:
+            write_hdf5(feat_name, "/ap", ap)
+        if args.save_spc:
+            write_hdf5(feat_name, "/spc", spc)
     uv, cont_f0_lpf = _smoothed_cont_f0(f0, args.shiftms)
     feats = np.concatenate(
         [uv[:, None], cont_f0_lpf[:, None], mcep, codeap], axis=1)
     write_hdf5(feat_name, "/world", feats.astype(np.float32))
-    optional = {"/f0": (args.save_f0, lambda: f0),
-                "/ap": (args.save_ap, lambda: ap),
-                "/spc": (args.save_spc, lambda: spc),
-                "/npow": (args.save_npow, lambda: npow)}
-    for dataset, (enabled, value) in optional.items():
-        if enabled:
-            write_hdf5(feat_name, dataset, value())
+    if args.save_f0:
+        write_hdf5(feat_name, "/f0", f0)
+    if args.save_npow:
+        write_hdf5(feat_name, "/npow", npow)
     if args.save_extended:
         up = int(args.shiftms * args.fs * 0.001)
         write_hdf5(feat_name, "/world_extend",

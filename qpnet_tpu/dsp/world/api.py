@@ -96,6 +96,42 @@ class WorldAnalyzer:
                             f0_ceil=self.maxf0, frame_period=self.shiftms)
         return stonemask(x, f0, time_axis, self.fs), time_axis
 
+    def extract_all(self, x: np.ndarray, dim: int = 34,
+                    alpha: float = 0.455):
+        """Fully-fused device extraction: ONE jit dispatch + ONE fetch for
+        (f0, mcep, codeap, npow) — the whole per-utterance feature surface.
+
+        Requires backend="jax" AND f0_backend="jax" (harvest analyzer);
+        callers that need the raw spc/ap arrays use analyze() instead.
+        Returns dict(f0, time_axis, mcep, codeap, npow), host float64.
+        """
+        if not (self.backend == "jax" and self.f0_backend == "jax"
+                and self.f0_analyzer == "harvest"):
+            raise RuntimeError("extract_all needs backend='jax' and "
+                               "f0_backend='jax' (harvest)")
+        import jax as _jax
+
+        from qpnet_tpu.dsp.world.jax_analysis import jax_analyze
+
+        x = np.asarray(x, np.float64)
+        n = len(x)
+        F = int(n / (self.fs * self.shiftms / 1000.0)) + 1
+        x32, _ = _bucket_pad_signal(x, self.fs)
+        cheaptrick_floor = max(self.minf0, 71.0 * 1024 / self.fftl)
+        out = jax_analyze(
+            x32, self.fs, n, F, float(alpha), fft_size=self.fftl,
+            mcep_dim=dim, f0_floor=float(self.minf0),
+            f0_ceil=float(self.maxf0), frame_period=float(self.shiftms),
+            cheaptrick_floor=cheaptrick_floor)
+        f0, mcep, codeap, npow = _jax.device_get(out)
+        return {
+            "f0": np.asarray(f0, np.float64)[:F],
+            "time_axis": np.arange(F) * (self.shiftms / 1000.0),
+            "mcep": np.asarray(mcep, np.float64)[:F],
+            "codeap": np.asarray(codeap, np.float64)[:F],
+            "npow": np.asarray(npow, np.float64)[:F],
+        }
+
     def analyze(self, x: np.ndarray, f0_time=None
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """f0_time: optional precomputed (f0, time_axis) from estimate_f0 —

@@ -371,3 +371,69 @@ def jax_sp2mc(powerspec: jnp.ndarray, order: int, alpha) -> jnp.ndarray:
     c = c[:, : powerspec.shape[-1]]
     c = c.at[:, 0].multiply(0.5)
     return jax_freqt(c, order, alpha)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fs", "fft_size", "mcep_dim", "f0_floor", "f0_ceil", "frame_period",
+    "cheaptrick_floor"))
+def jax_analyze(x: jnp.ndarray, fs: int, n_valid, f_valid, alpha,
+                fft_size: int = 1024, mcep_dim: int = 34,
+                f0_floor: float = 71.0, f0_ceil: float = 800.0,
+                frame_period: float = 5.0,
+                cheaptrick_floor: float = 71.0):
+    """The ENTIRE analysis pipeline — F0, spectral envelope, aperiodicity,
+    mel-cepstrum, coded aperiodicity, normalized power — as ONE jit.
+
+    The staged device path dispatches harvest / CheapTrick / D4C / sp2mc
+    as four separate programs, which costs four host<->device round trips
+    per utterance (a fixed ~25 ms each on tunneled deployments,
+    BENCH_NOTES.md methodology section).  Fusing them into one program
+    collapses that to a single dispatch + one batched fetch, and lets XLA
+    share the windowed-segment gathers between CheapTrick and D4C.
+
+    Covers the same per-utterance surface the reference consumes from
+    sprocket's FeatureExtractor (analyze + mcep + codeap + npow,
+    reference src/bin/feature_extract.py:324-327).
+
+    x: (n,) waveform padded to a whole-second bucket; n_valid (traced):
+    true sample count; f_valid (traced): true frame count — only the
+    first f_valid frames enter the npow utterance-mean.  alpha (traced):
+    mcep all-pass constant.
+    Returns (f0, mcep, codeap, npow) at the PADDED frame count; callers
+    slice to f_valid.
+    """
+    from qpnet_tpu.dsp.world.codec import band_frequencies
+    from qpnet_tpu.dsp.world.jax_f0 import jax_harvest
+
+    x = jnp.asarray(x, jnp.float32)
+    f0 = jax_harvest(x, fs, n_valid=n_valid, f0_floor=f0_floor,
+                     f0_ceil=f0_ceil, frame_period=frame_period)
+    F = f0.shape[0]
+    # trace-time f64 axis cast to f32 — bit-identical to the staged path's
+    # host-side t32 (api.analyze), so fused == staged exactly
+    time_axis = jnp.asarray(
+        np.arange(F) * (frame_period / 1000.0), jnp.float32)
+
+    spc = jax_cheaptrick(x, f0, time_axis, fs, fft_size=fft_size,
+                         f0_floor=cheaptrick_floor, f0_ceil=f0_ceil,
+                         n_valid=n_valid)
+    ap = jax_d4c(x, f0, time_axis, fs, fft_size=fft_size,
+                 f0_ceil=max(f0_ceil, 1000.0), n_valid=n_valid)
+    mcep = jax_sp2mc(spc, mcep_dim, alpha)
+
+    # coded aperiodicity: band-center samples in dB (codec.code_aperiodicity)
+    half = fft_size // 2 + 1
+    bands = band_frequencies(fs)
+    idx = np.minimum((bands / (fs / 2.0) * (half - 1)).round().astype(int),
+                     half - 1)
+    codeap = 20.0 * jnp.log10(jnp.maximum(ap[:, idx], 1e-12))
+
+    # normalized frame power in dB (mcep.spectrogram2npow), with the
+    # utterance mean taken over the true frames only
+    pows = (spc[:, 0] + spc[:, -1]
+            + 2.0 * jnp.sum(spc[:, 1:-1], axis=1)) / fft_size
+    mask = jnp.arange(F) < f_valid
+    meanpow = jnp.sum(jnp.where(mask, pows, 0.0)) / f_valid
+    npow = 10.0 * jnp.log10(jnp.maximum(pows, 1e-30)
+                            / jnp.maximum(meanpow, 1e-30))
+    return f0, mcep, codeap, npow

@@ -76,6 +76,55 @@ def test_jax_backend_f0_pipeline_matches_sequential(corpus, tmp_path):
 
 
 @pytest.mark.slow
+def test_fused_device_worker_matches_staged(corpus, tmp_path):
+    """--dsp_backend jax --f0_backend jax routes through the one-jit fused
+    extraction (feature_extract._use_fused_analysis); its h5 output must
+    equal the staged device path's (forced by requesting /ap, which needs
+    the raw aperiodicity and therefore disables fusion)."""
+    from qpnet_tpu.bin import feature_extract
+
+    def run(outdir, extra):
+        args = [a for a in _fe_args(corpus, True)]
+        args += ["--dsp_backend", "jax", "--f0_backend", "jax",
+                 "--feature_dir", str(outdir) + "/"] + extra
+        feature_extract.main(args)
+
+    run(tmp_path / "h5_fused", [])
+    run(tmp_path / "h5_staged", ["--save_ap", "true"])
+    for w in corpus["wavs"]:
+        base = os.path.basename(w).replace(".wav", ".h5")
+        fused = read_hdf5(str(tmp_path / "h5_fused" / base), "/world")
+        staged = read_hdf5(str(tmp_path / "h5_staged" / base), "/world")
+        np.testing.assert_allclose(fused, staged, atol=1e-4)
+        np.testing.assert_array_equal(
+            read_hdf5(str(tmp_path / "h5_fused" / base), "/f0"),
+            read_hdf5(str(tmp_path / "h5_staged" / base), "/f0"))
+        np.testing.assert_allclose(
+            read_hdf5(str(tmp_path / "h5_fused" / base), "/npow"),
+            read_hdf5(str(tmp_path / "h5_staged" / base), "/npow"),
+            atol=1e-4)
+
+
+def test_fused_gating():
+    """Fusion applies only when every stage is on device and no raw
+    spectra are requested."""
+    from types import SimpleNamespace
+
+    from qpnet_tpu.bin.feature_extract import _use_fused_analysis
+    from qpnet_tpu.dsp.world import WorldAnalyzer
+
+    args = SimpleNamespace(save_ap=False, save_spc=False)
+    an = WorldAnalyzer(backend="jax", f0_backend="jax")
+    assert _use_fused_analysis(an, args)
+    assert not _use_fused_analysis(
+        an, SimpleNamespace(save_ap=True, save_spc=False))
+    assert not _use_fused_analysis(
+        WorldAnalyzer(backend="jax", f0_backend="host"), args)
+    assert not _use_fused_analysis(
+        WorldAnalyzer(backend="numpy", f0_backend="jax"), args)
+
+
+@pytest.mark.slow
 def test_full_pipeline(corpus, tmp_path):
     from qpnet_tpu.bin import (
         calc_stats, feature_extract, noise_restored, noise_shaping,

@@ -175,3 +175,44 @@ def test_jax_backend_padding_invariance():
     ap_a = np.asarray(jax_d4c(x, f0, ta, fs, n_valid=len(x)))
     ap_b = np.asarray(jax_d4c(x_pad, f0, ta, fs, n_valid=len(x)))
     np.testing.assert_array_equal(ap_a, ap_b)
+
+
+def test_fused_extract_all_matches_staged():
+    """extract_all (one-jit pipeline) must reproduce the staged device
+    path bit-for-bit: same jitted stages, same bucketing, one dispatch."""
+    from qpnet_tpu.dsp.world import WorldAnalyzer
+
+    fs = 16000
+    rng = np.random.default_rng(7)
+    n = int(0.7 * fs)
+    f0c = np.linspace(110, 170, n)
+    ph = 2 * np.pi * np.cumsum(f0c) / fs
+    x = (0.6 * np.sin(ph) + 0.15 * np.sin(2 * ph)
+         + 0.01 * rng.normal(size=n)) * 9000
+
+    staged = WorldAnalyzer(fs=fs, minf0=60, maxf0=400,
+                           backend="jax", f0_backend="jax")
+    f0_s, _, _ = staged.analyze(x)
+    mcep_s = staged.mcep(dim=24, alpha=0.41)
+    codeap_s = staged.codeap()
+    npow_s = staged.npow()
+
+    fused = WorldAnalyzer(fs=fs, minf0=60, maxf0=400,
+                          backend="jax", f0_backend="jax")
+    out = fused.extract_all(x, dim=24, alpha=0.41)
+
+    assert out["f0"].shape == f0_s.shape
+    np.testing.assert_array_equal(out["f0"], f0_s)
+    np.testing.assert_allclose(out["mcep"], mcep_s, atol=1e-5)
+    np.testing.assert_allclose(out["codeap"], codeap_s, atol=1e-4)
+    np.testing.assert_allclose(out["npow"], npow_s, atol=1e-4)
+
+
+def test_fused_extract_all_requires_device_backends():
+    from qpnet_tpu.dsp.world import WorldAnalyzer
+
+    import pytest
+
+    an = WorldAnalyzer(fs=16000, backend="jax", f0_backend="host")
+    with pytest.raises(RuntimeError):
+        an.extract_all(np.zeros(16000))
