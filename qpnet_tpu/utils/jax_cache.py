@@ -9,10 +9,17 @@ makes every invocation after the first start in ~1 s for an already-seen
 small recipe decode went.
 
 Controlled by QPNET_COMPILE_CACHE:
-  unset          -> ~/.cache/qpnet_tpu/xla (default on)
-  a path         -> that directory
+  unset          -> ~/.cache/qpnet_tpu/xla/<fingerprint> (default on)
+  a path         -> that directory, verbatim
   "" / "0"/"off" -> disabled
-"""
+
+The default directory is keyed by a (jax version, JAX_PLATFORMS,
+XLA_FLAGS, host CPU flags) fingerprint: XLA:CPU AOT entries embed the
+target machine features of the COMPILING process, and loading them under
+a different host-feature detection warns (and can in principle SIGILL).
+Keying the dir means processes only ever share entries compiled under
+their own configuration; an explicit QPNET_COMPILE_CACHE path opts out
+of the keying for deliberate cross-run sharing."""
 
 from __future__ import annotations
 
@@ -20,6 +27,27 @@ import logging
 import os
 
 _ENABLED = False
+
+
+def _config_fingerprint() -> str:
+    """Hash of everything that changes the validity of on-disk XLA
+    executables for this process."""
+    import hashlib
+
+    import jax
+
+    parts = [jax.__version__,
+             os.environ.get("JAX_PLATFORMS", ""),
+             os.environ.get("XLA_FLAGS", "")]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    parts.append(line.strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1("\0".join(parts).encode()).hexdigest()[:12]
 
 
 def enable_compile_cache() -> None:
@@ -33,7 +61,8 @@ def enable_compile_cache() -> None:
     if raw is not None and raw.strip().lower() in ("", "0", "off", "none"):
         return
     cache_dir = raw or os.path.join(
-        os.path.expanduser("~"), ".cache", "qpnet_tpu", "xla")
+        os.path.expanduser("~"), ".cache", "qpnet_tpu", "xla",
+        _config_fingerprint())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         import jax
