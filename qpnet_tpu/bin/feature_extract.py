@@ -47,9 +47,9 @@ def get_arguments(argv=None):
     parser.add_argument("--f0_backend", default="host",
                         choices=["host", "jax"],
                         help="host = numpy harvest/dio (parity default); "
-                             "jax = device harvest — with --dsp_backend "
-                             "jax the whole analysis runs on device "
-                             "(harvest analyzer only)")
+                             "jax = device harvest or dio+stonemask — "
+                             "with --dsp_backend jax the whole analysis "
+                             "runs on device as one program")
     parser.add_argument("--feature_format", default="h5", type=str)
     parser.add_argument("--fs", default=22050, type=int)
     parser.add_argument("--shiftms", default=5.0, type=float)
@@ -128,7 +128,6 @@ def _use_fused_analysis(analyzer, args):
     """One-dispatch full extraction applies when every stage is on device
     and the raw spc/ap arrays are not requested as outputs."""
     return (analyzer.backend == "jax" and analyzer.f0_backend == "jax"
-            and analyzer.f0_analyzer == "harvest"
             and not (args.save_ap or args.save_spc))
 
 
@@ -319,14 +318,7 @@ def main(argv=None):
             logging.info("dsp_backend=jax: 1 worker process with %d "
                          "host F0 threads", args.f0_threads)
             args.n_jobs = 1
-        if args.f0_backend == "jax" and args.f0_analyzer != "harvest":
-            # device F0 implements harvest only — keep the host pool
-            # rather than silently serializing a host-DIO run
-            logging.warning("f0_backend=jax supports --f0_analyzer "
-                            "harvest only; using the host %s pool",
-                            args.f0_analyzer)
-            args.f0_backend = "host"
-        elif args.f0_backend == "jax" and args.n_jobs > 1:
+        if args.f0_backend == "jax" and args.n_jobs > 1:
             logging.info("f0_backend=jax: 1 worker process owns the "
                          "accelerator")
             args.n_jobs = 1

@@ -49,8 +49,9 @@ class WorldAnalyzer:
         # "jax" = device-batched CheapTrick/D4C/mcep (float32; ~100x the
         # host throughput on TPU)
         # f0_backend: "host" = numpy harvest/dio (reference-parity
-        # default); "jax" = device harvest (dsp/world/jax_f0.py) — with
-        # backend="jax" the ENTIRE analysis pipeline runs on device
+        # default); "jax" = device harvest or dio+stonemask
+        # (dsp/world/jax_f0.py) — with backend="jax" the ENTIRE analysis
+        # pipeline runs on device
         self.backend = backend
         self.f0_backend = f0_backend
         self.fs = fs
@@ -68,27 +69,28 @@ class WorldAnalyzer:
 
         f0_backend="host": pure numpy — safe to run in worker threads
         overlapping the device spectral stage (see analyze(f0_time=...)).
-        f0_backend="jax": the device harvest (jax_f0.jax_harvest) with the
-        same whole-second length bucketing as analyze(), so the jitted
-        pipeline compiles once per duration bucket."""
+        f0_backend="jax": the device estimator (jax_f0.jax_harvest, or
+        jax_dio + jax_stonemask) with the same whole-second length
+        bucketing as analyze(), so the jitted pipeline compiles once per
+        duration bucket."""
         x = np.asarray(x, np.float64)
-        if self.f0_backend == "jax" and self.f0_analyzer != "harvest":
-            import logging
-            logging.warning("f0_backend='jax' implements the harvest "
-                            "analyzer only; falling back to the host %s "
-                            "estimator", self.f0_analyzer)
-            self.f0_backend = "host"
-        if self.f0_backend == "jax" and self.f0_analyzer == "harvest":
-            from qpnet_tpu.dsp.world.jax_f0 import jax_harvest
+        if self.f0_backend == "jax":
+            from qpnet_tpu.dsp.world.jax_f0 import (
+                jax_dio, jax_harvest, jax_stonemask,
+            )
             n = len(x)
             F = int(n / (self.fs * self.shiftms / 1000.0)) + 1
             x32, _ = _bucket_pad_signal(x, self.fs)
-            f0 = np.asarray(jax_harvest(
-                x32, self.fs, n_valid=n, f0_floor=float(self.minf0),
-                f0_ceil=float(self.maxf0),
-                frame_period=float(self.shiftms)), np.float64)[:F]
+            kw = dict(n_valid=n, f0_floor=float(self.minf0),
+                      f0_ceil=float(self.maxf0),
+                      frame_period=float(self.shiftms))
+            if self.f0_analyzer == "harvest":
+                f0 = jax_harvest(x32, self.fs, **kw)
+            else:
+                f0 = jax_stonemask(x32, jax_dio(x32, self.fs, **kw),
+                                   self.fs, **kw)
             time_axis = np.arange(F) * (self.shiftms / 1000.0)
-            return f0, time_axis
+            return np.asarray(f0, np.float64)[:F], time_axis
         if self.f0_analyzer == "harvest":
             return harvest(x, self.fs, f0_floor=self.minf0,
                            f0_ceil=self.maxf0, frame_period=self.shiftms)
@@ -101,14 +103,13 @@ class WorldAnalyzer:
         """Fully-fused device extraction: ONE jit dispatch + ONE fetch for
         (f0, mcep, codeap, npow) — the whole per-utterance feature surface.
 
-        Requires backend="jax" AND f0_backend="jax" (harvest analyzer);
+        Requires backend="jax" AND f0_backend="jax" (either analyzer);
         callers that need the raw spc/ap arrays use analyze() instead.
         Returns dict(f0, time_axis, mcep, codeap, npow), host float64.
         """
-        if not (self.backend == "jax" and self.f0_backend == "jax"
-                and self.f0_analyzer == "harvest"):
+        if not (self.backend == "jax" and self.f0_backend == "jax"):
             raise RuntimeError("extract_all needs backend='jax' and "
-                               "f0_backend='jax' (harvest)")
+                               "f0_backend='jax'")
         import jax as _jax
 
         from qpnet_tpu.dsp.world.jax_analysis import jax_analyze
@@ -122,7 +123,8 @@ class WorldAnalyzer:
             x32, self.fs, n, F, float(alpha), fft_size=self.fftl,
             mcep_dim=dim, f0_floor=float(self.minf0),
             f0_ceil=float(self.maxf0), frame_period=float(self.shiftms),
-            cheaptrick_floor=cheaptrick_floor)
+            cheaptrick_floor=cheaptrick_floor,
+            f0_analyzer=self.f0_analyzer)
         f0, mcep, codeap, npow = _jax.device_get(out)
         return {
             "f0": np.asarray(f0, np.float64)[:F],

@@ -375,12 +375,13 @@ def jax_sp2mc(powerspec: jnp.ndarray, order: int, alpha) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=(
     "fs", "fft_size", "mcep_dim", "f0_floor", "f0_ceil", "frame_period",
-    "cheaptrick_floor"))
+    "cheaptrick_floor", "f0_analyzer"))
 def jax_analyze(x: jnp.ndarray, fs: int, n_valid, f_valid, alpha,
                 fft_size: int = 1024, mcep_dim: int = 34,
                 f0_floor: float = 71.0, f0_ceil: float = 800.0,
                 frame_period: float = 5.0,
-                cheaptrick_floor: float = 71.0):
+                cheaptrick_floor: float = 71.0,
+                f0_analyzer: str = "harvest"):
     """The ENTIRE analysis pipeline — F0, spectral envelope, aperiodicity,
     mel-cepstrum, coded aperiodicity, normalized power — as ONE jit.
 
@@ -403,11 +404,17 @@ def jax_analyze(x: jnp.ndarray, fs: int, n_valid, f_valid, alpha,
     slice to f_valid.
     """
     from qpnet_tpu.dsp.world.codec import band_frequencies
-    from qpnet_tpu.dsp.world.jax_f0 import jax_harvest
+    from qpnet_tpu.dsp.world.jax_f0 import (
+        jax_dio, jax_harvest, jax_stonemask,
+    )
 
     x = jnp.asarray(x, jnp.float32)
-    f0 = jax_harvest(x, fs, n_valid=n_valid, f0_floor=f0_floor,
-                     f0_ceil=f0_ceil, frame_period=frame_period)
+    kw = dict(n_valid=n_valid, f0_floor=f0_floor, f0_ceil=f0_ceil,
+              frame_period=frame_period)
+    if f0_analyzer == "harvest":
+        f0 = jax_harvest(x, fs, **kw)
+    else:
+        f0 = jax_stonemask(x, jax_dio(x, fs, **kw), fs, **kw)
     F = f0.shape[0]
     # trace-time f64 axis cast to f32 — bit-identical to the staged path's
     # host-side t32 (api.analyze), so fused == staged exactly

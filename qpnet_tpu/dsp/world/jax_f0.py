@@ -1,10 +1,14 @@
-"""Device-side (jittable) Harvest-style F0 estimation.
+"""Device-side (jittable) F0 estimation: harvest AND dio+stonemask.
 
 The host estimators (dsp/world/dio.py, harvest.py) are numpy re-derivations
 of WORLD's interval-agreement method; this module re-expresses the same
-pipeline as fixed-shape array programs so the FULL feature-extraction
+pipelines as fixed-shape array programs so the FULL feature-extraction
 pipeline — F0 included — runs under one jit on TPU (previously F0 was the
-one stage pinned to the host, jax_analysis.py docstring).
+one stage pinned to the host, jax_analysis.py docstring).  Both analyzers
+share the candidate front-end (_candidate_tracks); they differ in
+selection: harvest pools candidates and Viterbi-tracks the contour, dio
+takes the per-frame best band and repairs the contour with the
+FixF0Contour scans (_fix_contour_scan), then jax_stonemask refines.
 
 TPU-first reformulations (vs the host/numpy shapes of the same stages):
 
@@ -115,6 +119,49 @@ def _channel_tracks(xbs: jnp.ndarray, fs_d: float,
     return jnp.stack([neg, pos, pk, dp])
 
 
+def _candidate_tracks(x, fs: int, n_valid, f0_floor: float, f0_ceil: float,
+                      frame_period: float, channels_in_octave: float):
+    """Shared candidate front-end of the device estimators: 50 Hz low-cut,
+    f0_ceil decimation, Nuttall-sinc band bank, four event-interval tracks.
+
+    Returns (tracks (4, C, F), boundaries (C,) numpy, frame_times (F,),
+    masked full-rate signal)."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    if n_valid is None:
+        n_valid = n
+    x = jnp.where(jnp.arange(n) < n_valid, x, 0.0)
+
+    frame_shift = fs * frame_period / 1000.0
+    F = int(n / frame_shift) + 1
+    frame_times = jnp.arange(F) * (frame_period / 1000.0)
+
+    # low-cut (50 Hz) + decimation in one spectrum pass
+    fftl, m, fs_d, n_d = decimation_plan(n, fs, f0_ceil)
+    X = jnp.fft.rfft(x, fftl)
+    f = jnp.fft.rfftfreq(fftl, 1.0 / fs)
+    gain = jnp.clip((f - 25.0) / 25.0, 0.0, 1.0)        # 50 Hz low-cut
+    Xg = X * gain
+    if m < fftl:
+        xd = jnp.fft.irfft(Xg[: m // 2 + 1], m) * (m / fftl)
+        xd = xd[:n_d]
+    else:
+        xd = jnp.fft.irfft(Xg, fftl)[:n]
+
+    # candidate channels: one batched spectrum multiply + irfft
+    n_ch = 1 + int(np.log2(f0_ceil / f0_floor) * channels_in_octave)
+    boundaries = f0_floor * 2.0 ** ((np.arange(n_ch) + 1)
+                                    / channels_in_octave)
+    fftl_d, H = _band_bank(n_d, fs_d, boundaries)
+    Xd = jnp.fft.rfft(xd.astype(jnp.float32), fftl_d)
+    xbs = jnp.fft.irfft(Xd[None, :] * H, fftl_d, axis=-1)[:, :n_d]
+
+    centers = jnp.clip(jnp.round(frame_times * fs_d).astype(jnp.int32),
+                       0, n_d - 1)
+    tr = _channel_tracks(xbs, fs_d, centers)            # (4, C, F)
+    return tr, boundaries, frame_times, x
+
+
 # ---------------------------------------------------------------------------
 # pooling, refinement, contour
 # ---------------------------------------------------------------------------
@@ -152,7 +199,7 @@ N_HARMONICS = 6
 
 def _refine(x: jnp.ndarray, fs: int, frame_times: jnp.ndarray,
             pooled: jnp.ndarray, f0_floor: float, f0_ceil: float,
-            n_valid) -> tuple:
+            n_valid, clamp_range: bool = True) -> tuple:
     """StoneMask IF refinement of every pooled candidate.
 
     Windowed DFTs evaluated directly at harmonic frequencies over a static
@@ -206,7 +253,11 @@ def _refine(x: jnp.ndarray, fs: int, frame_times: jnp.ndarray,
         den = den + pk
     refined = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
     bad = (~valid) | (refined <= 0) | (refined < f0c * 0.5) \
-        | (refined > f0c * 2.0) | (refined < f0_floor) | (refined > f0_ceil)
+        | (refined > f0c * 2.0)
+    if clamp_range:
+        # harvest rejects refinements leaving the analysis range; the
+        # stonemask contract (refine.py) keeps them (only the octave test)
+        bad = bad | (refined < f0_floor) | (refined > f0_ceil)
     refined = jnp.where(bad, 0.0, refined)
     score = jnp.where(refined > 0, jnp.maximum(
         0.0, 1.0 - 5.0 * jnp.abs(refined - pooled)
@@ -298,38 +349,10 @@ def jax_harvest(x: jnp.ndarray, fs: int, n_valid=None,
     length; callers slice to the true frame count.
     """
     x = jnp.asarray(x, jnp.float32)
-    n = x.shape[0]
     if n_valid is None:
-        n_valid = n
-    x = jnp.where(jnp.arange(n) < n_valid, x, 0.0)
-
-    frame_shift = fs * frame_period / 1000.0
-    F = int(n / frame_shift) + 1
-    frame_times = jnp.arange(F) * (frame_period / 1000.0)
-
-    # low-cut (50 Hz) + decimation in one spectrum pass
-    fftl, m, fs_d, n_d = decimation_plan(n, fs, f0_ceil)
-    X = jnp.fft.rfft(x, fftl)
-    f = jnp.fft.rfftfreq(fftl, 1.0 / fs)
-    gain = jnp.clip((f - 25.0) / 25.0, 0.0, 1.0)        # 50 Hz low-cut
-    Xg = X * gain
-    if m < fftl:
-        xd = jnp.fft.irfft(Xg[: m // 2 + 1], m) * (m / fftl)
-        xd = xd[:n_d]
-    else:
-        xd = jnp.fft.irfft(Xg, fftl)[:n]
-
-    # candidate channels: one batched spectrum multiply + irfft
-    n_ch = 1 + int(np.log2(f0_ceil / f0_floor) * channels_in_octave)
-    boundaries = f0_floor * 2.0 ** ((np.arange(n_ch) + 1)
-                                    / channels_in_octave)
-    fftl_d, H = _band_bank(n_d, fs_d, boundaries)
-    Xd = jnp.fft.rfft(xd.astype(jnp.float32), fftl_d)
-    xbs = jnp.fft.irfft(Xd[None, :] * H, fftl_d, axis=-1)[:, :n_d]
-
-    centers = jnp.clip(jnp.round(frame_times * fs_d).astype(jnp.int32),
-                       0, n_d - 1)
-    tr = _channel_tracks(xbs, fs_d, centers)            # (4, C, F)
+        n_valid = x.shape[0]
+    tr, boundaries, frame_times, x = _candidate_tracks(
+        x, fs, n_valid, f0_floor, f0_ceil, frame_period, channels_in_octave)
     cand = tr.mean(axis=0)
     spread = jnp.std(tr, axis=0) / jnp.maximum(cand, 1e-9)
     bnd = jnp.asarray(boundaries, jnp.float32)[:, None]
@@ -346,3 +369,163 @@ def jax_harvest(x: jnp.ndarray, fs: int, n_valid=None,
     f0 = _viterbi(refined, score, transition_cost, unvoiced_cost)
     min_frames = max(1, int(round(30.0 / frame_period)))
     return _drop_short_runs(f0, min_frames)
+
+
+# ---------------------------------------------------------------------------
+# device DIO + StoneMask (completes the f0_backend="jax" analyzer matrix)
+# ---------------------------------------------------------------------------
+
+def _select_best_f0_jax(prev1, prev2, cands_t, allowed_range: float):
+    """dio._select_best_f0 on a candidate vector: the candidate closest to
+    the half-step linear extrapolation, 0 when even it disagrees."""
+    reference = (prev1 * 3.0 - prev2) / 2.0
+    errors = jnp.abs(reference - cands_t)
+    b = jnp.argmin(errors)
+    v = cands_t[b]
+    fail = errors[b] / jnp.maximum(reference, 1e-12) >= allowed_range
+    return jnp.where(fail, 0.0, v)
+
+
+def _fix_contour_scan(f0: jnp.ndarray, cands: jnp.ndarray,
+                      frame_period: float, allowed_range: float,
+                      f0_floor: float) -> jnp.ndarray:
+    """dio._fix_contour (WORLD FixF0Contour steps 1-4) as array ops + two
+    lax.scans.
+
+    Steps 1-2 (erode discontinuities, require a fully-voiced +-vrm/2
+    window) are sliding-window masks.  Steps 3-4 (re-extend each voiced
+    section forward/backward one frame at a time, accepting the band
+    candidate nearest the extrapolated contour) carry (prev2, prev1,
+    extending) through a forward and a reversed scan: inside-section
+    frames reset the carry, gap frames extend while the candidate pool
+    keeps agreeing, and a failed extension writes its 0 (host `break`
+    writes step[j+1]=0) then leaves later gap frames at their step-3
+    values.
+
+    cands: (C, F) per-band candidates (0 where invalid).
+    """
+    n = f0.shape[0]
+    vrm = int(0.5 + 1000.0 / frame_period / f0_floor) * 2 + 1
+    if n <= vrm:
+        return f0
+    half = vrm // 2
+    iota = jnp.arange(n)
+
+    # step 1: erode discontinuities (voiced onsets included)
+    prev = jnp.concatenate([jnp.zeros(1, f0.dtype), f0[:-1]])
+    rel = jnp.abs(f0 - prev) / (1e-12 + f0)
+    step1 = jnp.where((iota < vrm) | (rel >= allowed_range), 0.0, f0)
+
+    # step 2: voiced only if the whole +-half window is voiced
+    voiced = (step1 > 0).astype(jnp.float32)
+    csum = jnp.concatenate([jnp.zeros(1), jnp.cumsum(voiced)])
+    window_ok = (csum[vrm:] - csum[:-vrm]) >= vrm       # (n-vrm+1,)
+    keep = jnp.ones(n, bool).at[half: n - half].set(window_ok)
+    step2 = jnp.where(keep, step1, 0.0)
+
+    cands_t = jnp.moveaxis(cands, 0, 1)                 # (F, C)
+
+    def fwd(carry, inp):
+        # alive: the extension/section value chain is usable; was_gap:
+        # the previous frame was a gap frame (host semantics: the forward
+        # loop's LAST write lands on starts[i+1] itself, so an extension
+        # chain that survives its gap OVERWRITES the next section's first
+        # frame with the select value before the interior resumes)
+        prev2, prev1, alive, was_gap = carry
+        s2, cv = inp
+        inside = s2 > 0.0
+        v_ext = _select_best_f0_jax(prev1, prev2, cv, allowed_range)
+        overwrite = inside & was_gap & alive
+        can = (~inside) & alive & (prev1 > 0.0)
+        v = jnp.where(inside, jnp.where(overwrite, v_ext, s2),
+                      jnp.where(can, v_ext, 0.0))
+        new_alive = inside | (can & (v_ext > 0.0))
+        return (prev1, v, new_alive, ~inside), v
+
+    init = (jnp.float32(0.0), jnp.float32(0.0),
+            jnp.bool_(False), jnp.bool_(False))
+    _, step3 = jax.lax.scan(fwd, init, (step2, cands_t))
+
+    def bwd(carry, inp):
+        prev2, prev1, alive, _ = carry                  # values at t+2, t+1
+        s2, s3, cv = inp
+        inside = s2 > 0.0
+        can = (~inside) & alive & (prev1 > 0.0)
+        v_ext = _select_best_f0_jax(prev1, prev2, cv, allowed_range)
+        # backward extension overwrites forward fills while it succeeds
+        # and writes its terminating 0 (host `break` lands the zero);
+        # non-extending gap frames keep step 3's value.  Unlike forward,
+        # its last write is the gap frame ends[i-1]+1 — section frames
+        # are never overwritten going backward.
+        v = jnp.where(inside, s3, jnp.where(can, v_ext, s3))
+        new_alive = inside | (can & (v_ext > 0.0))
+        return (prev1, v, new_alive, ~inside), v
+
+    _, rev = jax.lax.scan(bwd, init,
+                          (step2[::-1], step3[::-1], cands_t[::-1]))
+    return rev[::-1]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fs", "f0_floor", "f0_ceil", "frame_period", "channels_in_octave",
+    "allowed_range"))
+def jax_dio(x: jnp.ndarray, fs: int, n_valid=None,
+            f0_floor: float = 71.0, f0_ceil: float = 800.0,
+            frame_period: float = 5.0,
+            channels_in_octave: float = 2.0,
+            allowed_range: float = 0.1) -> jnp.ndarray:
+    """Device-side DIO F0 track; same contract as dio.dio (without the
+    time axis, which is frame_period-implied).
+
+    Shares the candidate front-end with jax_harvest; DIO's selection is
+    per-frame best-band (minimal normalized interval spread) instead of
+    pooling + Viterbi, followed by the FixF0Contour scans.
+    """
+    tr, boundaries, frame_times, x = _candidate_tracks(
+        x, fs, n_valid, f0_floor, f0_ceil, frame_period, channels_in_octave)
+    cand = tr.mean(axis=0)                              # (C, F)
+    rel = jnp.std(tr, axis=0)
+    bnd = jnp.asarray(boundaries, jnp.float32)[:, None]
+    bad = ((cand < f0_floor) | (cand > f0_ceil)
+           | (cand <= bnd / 2) | (cand > bnd * 2)
+           | jnp.any(tr <= 0, axis=0))
+    cand = jnp.where(bad, 0.0, cand)
+    rel = jnp.where(bad, _POS, rel)
+
+    score = rel / jnp.maximum(cand, 1e-9)
+    best = jnp.argmin(score, axis=0)                    # (F,)
+    f0 = jnp.take_along_axis(cand, best[None, :], axis=0)[0]
+    best_rel = jnp.take_along_axis(rel, best[None, :], axis=0)[0] \
+        / jnp.maximum(f0, 1e-9)
+    f0 = jnp.where(best_rel < allowed_range, f0, 0.0)
+    return _fix_contour_scan(f0, cand, frame_period, allowed_range,
+                             f0_floor)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fs", "f0_floor", "f0_ceil", "frame_period"))
+def jax_stonemask(x: jnp.ndarray, f0: jnp.ndarray, fs: int, n_valid=None,
+                  f0_floor: float = 71.0, f0_ceil: float = 800.0,
+                  frame_period: float = 5.0) -> jnp.ndarray:
+    """Device StoneMask: two instantaneous-frequency refinement passes
+    (stonemask.stonemask); only the octave divergence test rejects —
+    range clamping is harvest's convention, not stonemask's.
+
+    f0_floor sizes the static refinement window slot; pass 2 refines
+    pass-1 values that may sit as low as f0_floor/2, so the slot is sized
+    for that."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    if n_valid is None:
+        n_valid = n
+    x = jnp.where(jnp.arange(n) < n_valid, x, 0.0)
+    F = f0.shape[0]
+    frame_times = jnp.asarray(
+        np.arange(F) * (frame_period / 1000.0), jnp.float32)
+    f0 = jnp.asarray(f0, jnp.float32)
+    r1, _ = _refine(x, fs, frame_times, f0[:, None],
+                    f0_floor * 0.5, f0_ceil, n_valid, clamp_range=False)
+    r2, _ = _refine(x, fs, frame_times, r1,
+                    f0_floor * 0.5, f0_ceil, n_valid, clamp_range=False)
+    r1, r2 = r1[:, 0], r2[:, 0]
+    return jnp.where(r2 > 0, r2, r1)

@@ -216,3 +216,27 @@ def test_fused_extract_all_requires_device_backends():
     an = WorldAnalyzer(fs=16000, backend="jax", f0_backend="host")
     with pytest.raises(RuntimeError):
         an.extract_all(np.zeros(16000))
+
+
+def test_fused_extract_all_dio_analyzer():
+    """extract_all with the dio+stonemask analyzer matches the staged
+    device path routed through the same estimator."""
+    from qpnet_tpu.dsp.world import WorldAnalyzer
+
+    fs = 16000
+    rng = np.random.default_rng(9)
+    n = int(0.8 * fs)
+    ph = 2 * np.pi * np.cumsum(np.linspace(130, 180, n)) / fs
+    x = (0.6 * np.sin(ph) + 0.2 * np.sin(2 * ph)
+         + 0.01 * rng.normal(size=n)) * 9000
+
+    kw = dict(fs=fs, minf0=60, maxf0=400, f0_analyzer="dio",
+              backend="jax", f0_backend="jax")
+    staged = WorldAnalyzer(**kw)
+    f0_s, _, _ = staged.analyze(x)
+    mcep_s = staged.mcep(dim=24, alpha=0.41)
+
+    out = WorldAnalyzer(**kw).extract_all(x, dim=24, alpha=0.41)
+    np.testing.assert_array_equal(out["f0"], f0_s)
+    np.testing.assert_allclose(out["mcep"], mcep_s, atol=1e-5)
+    assert (out["f0"] > 0).mean() > 0.7    # the estimator actually tracked

@@ -163,3 +163,116 @@ def test_viterbi_backtrack_oracle():
     expect = np.array([0.0 if s == 0 else refined[t, s - 1]
                        for t, s in enumerate(best_path)])
     np.testing.assert_allclose(f0, expect, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# device DIO + StoneMask
+# ---------------------------------------------------------------------------
+
+def _run_dio(x, n_valid=None, stonemask_refine=True):
+    from qpnet_tpu.dsp.world.jax_f0 import jax_dio, jax_stonemask
+    kw = dict(f0_floor=KW["f0_floor"], f0_ceil=KW["f0_ceil"])
+    x = np.asarray(x, np.float32)
+    f0 = jax_dio(x, FS, n_valid=n_valid, **kw)
+    if stonemask_refine:
+        f0 = jax_stonemask(x, f0, FS, n_valid=n_valid, **kw)
+    return np.asarray(f0)
+
+
+def test_dio_vibrato_tracking():
+    x, f0_true = _vibrato()
+    f0 = _run_dio(x)
+    F = len(f0)
+    ft = f0_true[np.clip((np.arange(F) * 0.005 * FS).astype(int),
+                         0, len(f0_true) - 1)]
+    voiced = f0 > 0
+    assert voiced.mean() > 0.8, voiced.mean()
+    err = (f0 - ft)[voiced]
+    assert np.sqrt((err ** 2).mean()) < 3.0
+
+
+def test_dio_noise_is_unvoiced():
+    rng = np.random.default_rng(1)
+    f0 = _run_dio(0.1 * rng.standard_normal(N))
+    assert (f0 > 0).mean() < 0.1
+
+
+def test_fix_contour_scan_matches_host_oracle():
+    """The lax.scan contour fixing reproduces the host dio._fix_contour
+    walk on random candidate tables (the component the device DIO adds
+    over the shared front-end)."""
+    from qpnet_tpu.dsp.world.dio import _fix_contour
+    from qpnet_tpu.dsp.world.jax_f0 import _fix_contour_scan
+
+    rng = np.random.default_rng(3)
+    C, F = 6, 240
+    for trial in range(8):
+        # voiced sections with near-continuous f0 + junk
+        f0 = np.zeros(F)
+        cands = np.zeros((C, F))
+        t0 = 0
+        while t0 < F - 30:
+            seg = rng.integers(12, 60)
+            base = rng.uniform(100, 300)
+            tr = base * (1 + 0.02 * np.cumsum(rng.normal(size=seg)) / 10)
+            f0[t0: t0 + seg] = tr[: F - t0]
+            for c in range(C):
+                noise = 1 + 0.003 * rng.normal(size=min(seg, F - t0))
+                if rng.random() < 0.7:
+                    cands[c, t0: t0 + seg] = tr[: F - t0] * noise
+                elif rng.random() < 0.5:
+                    cands[c, t0: t0 + seg] = tr[: F - t0] * 2 * noise
+            t0 += seg + rng.integers(5, 25)
+        # random dropouts make discontinuities for step 1/2 to erode
+        drop = rng.random(F) < 0.05
+        f0[drop] = 0.0
+        host = _fix_contour(f0, cands, 5.0, 0.1, f0_floor=90.0)
+        dev = np.asarray(_fix_contour_scan(
+            jnp_asarray(f0), jnp_asarray(cands), 5.0, 0.1, 90.0))
+        # f32 vs f64 select_best reference arithmetic can flip a
+        # borderline accept at most rarely; demand near-perfect agreement
+        agree = np.isclose(host, dev, rtol=2e-3, atol=1e-2)
+        assert agree.mean() > 0.99, (trial, np.nonzero(~agree)[0][:10])
+
+
+def jnp_asarray(a):
+    import jax.numpy as jnp
+    return jnp.asarray(np.asarray(a, np.float32))
+
+
+def test_agreement_with_host_dio():
+    """Device dio+stonemask vs host dio+stonemask on a speech-like
+    utterance: voicing and pitch agree (same bar as the harvest test)."""
+    from qpnet_tpu.dsp.world.dio import dio
+    from qpnet_tpu.dsp.world.stonemask import stonemask
+    from qpnet_tpu.tools.make_synth_corpus import synth_utterance
+    rng = np.random.default_rng(5)
+    x = synth_utterance(rng, FS, N / FS, 150.0)[:N]
+    f0_dev = _run_dio(x)
+    f0_raw, ta = dio(x, FS, f0_floor=KW["f0_floor"], f0_ceil=KW["f0_ceil"])
+    f0_host = stonemask(x, f0_raw, ta, FS)
+    n = min(len(f0_dev), len(f0_host))
+    vd, vh = f0_dev[:n] > 0, f0_host[:n] > 0
+    both = vd & vh
+    assert (vd == vh).mean() > 0.8, (vd.mean(), vh.mean())
+    assert both.sum() > 0.3 * n
+    diff = np.abs(f0_dev[:n][both] - f0_host[:n][both])
+    assert np.median(diff) < 2.0
+    assert (diff < 10.0).mean() > 0.85
+
+
+def test_world_analyzer_f0_backend_jax_dio():
+    """The analyzer routes f0_analyzer='dio' + f0_backend='jax' through
+    the device dio+stonemask with the analyze() frame geometry."""
+    from qpnet_tpu.dsp.world import WorldAnalyzer
+
+    x, f0_true = _vibrato(n=int(0.8 * FS))
+    an = WorldAnalyzer(fs=FS, minf0=KW["f0_floor"], maxf0=KW["f0_ceil"],
+                       f0_analyzer="dio", f0_backend="jax")
+    f0, ta = an.estimate_f0(x)
+    F = int(len(x) / (FS * 0.005)) + 1
+    assert len(f0) == F and len(ta) == F
+    v = f0 > 0
+    assert v.mean() > 0.7
+    ft = f0_true[np.clip((ta * FS).astype(int), 0, len(x) - 1)]
+    assert np.sqrt(((f0 - ft)[v] ** 2).mean()) < 3.0
