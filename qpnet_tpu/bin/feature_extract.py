@@ -131,22 +131,8 @@ def _use_fused_analysis(analyzer, args):
             and not (args.save_ap or args.save_spc))
 
 
-def _analyze_and_write(analyzer, args, x, f0_time, feat_name):
-    """Device/host spectral stage + dataset writes for one utterance."""
-    if _use_fused_analysis(analyzer, args):
-        out = analyzer.extract_all(x, dim=args.mcep_dim,
-                                   alpha=args.mcep_alpha)
-        f0, mcep = out["f0"], out["mcep"]
-        codeap, npow = out["codeap"], out["npow"]
-    else:
-        f0, spc, ap = analyzer.analyze(x, f0_time=f0_time)
-        codeap = analyzer.codeap()
-        mcep = analyzer.mcep(dim=args.mcep_dim, alpha=args.mcep_alpha)
-        npow = analyzer.npow()
-        if args.save_ap:
-            write_hdf5(feat_name, "/ap", ap)
-        if args.save_spc:
-            write_hdf5(feat_name, "/spc", spc)
+def _write_feature_sets(args, feat_name, f0, mcep, codeap, npow):
+    """The h5 schema writes shared by the staged and fused paths."""
     uv, cont_f0_lpf = _smoothed_cont_f0(f0, args.shiftms)
     feats = np.concatenate(
         [uv[:, None], cont_f0_lpf[:, None], mcep, codeap], axis=1)
@@ -162,6 +148,54 @@ def _analyze_and_write(analyzer, args, x, f0_time, feat_name):
     if args.save_vad:
         _, vad_idx = extfrm(mcep, npow, power_threshold=args.pow_th)
         write_hdf5(feat_name, "/vad_idx", vad_idx)
+
+
+def _analyze_and_write(analyzer, args, x, f0_time, feat_name):
+    """Device/host spectral stage + dataset writes for one utterance."""
+    if _use_fused_analysis(analyzer, args):
+        out = analyzer.extract_all(x, dim=args.mcep_dim,
+                                   alpha=args.mcep_alpha)
+        _write_feature_sets(args, feat_name, out["f0"], out["mcep"],
+                            out["codeap"], out["npow"])
+        return
+    f0, spc, ap = analyzer.analyze(x, f0_time=f0_time)
+    codeap = analyzer.codeap()
+    mcep = analyzer.mcep(dim=args.mcep_dim, alpha=args.mcep_alpha)
+    npow = analyzer.npow()
+    if args.save_ap:
+        write_hdf5(feat_name, "/ap", ap)
+    if args.save_spc:
+        write_hdf5(feat_name, "/spc", spc)
+    _write_feature_sets(args, feat_name, f0, mcep, codeap, npow)
+
+
+def _fused_pipeline_extract(analyzer, args, wav_list):
+    """Fully-device extraction with dispatch/fetch pipelining: utterance
+    k+1's fused program is enqueued while the device still runs k's, and
+    k's host tail (fetch, cont-F0 smoothing, h5 writes) overlaps k+1's
+    device time — hiding the per-dispatch round trip that dominates
+    per-utterance latency on tunneled deployments."""
+    from collections import deque
+
+    n = len(wav_list)
+    depth = 2
+    pending = deque()
+
+    def drain():
+        (i, wav_name, feat_name), handle = pending.popleft()
+        logging.info("[%d/%d] extracting %s", i + 1, n, wav_name)
+        out = analyzer.extract_all_fetch(handle)
+        _write_feature_sets(args, feat_name, out["f0"], out["mcep"],
+                            out["codeap"], out["npow"])
+
+    for job in _pending_jobs(wav_list, args):
+        x = _load_wav(job[1], args)
+        pending.append((job, analyzer.extract_all_async(
+            x, dim=args.mcep_dim, alpha=args.mcep_alpha)))
+        while len(pending) > depth:
+            drain()
+    while pending:
+        drain()
 
 
 def _pending_jobs(wav_list, args):
@@ -195,6 +229,9 @@ def world_feature_extract(wav_list, args):
                              fftl=args.fftl, f0_analyzer=args.f0_analyzer,
                              backend=getattr(args, "dsp_backend", "numpy"),
                              f0_backend=getattr(args, "f0_backend", "host"))
+    if _use_fused_analysis(analyzer, args):
+        _fused_pipeline_extract(analyzer, args, wav_list)
+        return
     n = len(wav_list)
     f0_threads = getattr(args, "f0_threads", 0)
     if analyzer.f0_backend == "jax":

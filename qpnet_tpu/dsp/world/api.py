@@ -107,11 +107,18 @@ class WorldAnalyzer:
         callers that need the raw spc/ap arrays use analyze() instead.
         Returns dict(f0, time_axis, mcep, codeap, npow), host float64.
         """
+        return self.extract_all_fetch(self.extract_all_async(x, dim, alpha))
+
+    def extract_all_async(self, x: np.ndarray, dim: int = 34,
+                          alpha: float = 0.455):
+        """Dispatch the fused extraction without fetching: returns an
+        opaque handle for extract_all_fetch.  jax dispatch is async, so a
+        caller can enqueue the next utterance's program while the device
+        still runs this one — the worker pipelines dispatch/fetch/h5-write
+        across utterances this way (bin/feature_extract.py)."""
         if not (self.backend == "jax" and self.f0_backend == "jax"):
             raise RuntimeError("extract_all needs backend='jax' and "
                                "f0_backend='jax'")
-        import jax as _jax
-
         from qpnet_tpu.dsp.world.jax_analysis import jax_analyze
 
         x = np.asarray(x, np.float64)
@@ -125,6 +132,14 @@ class WorldAnalyzer:
             f0_ceil=float(self.maxf0), frame_period=float(self.shiftms),
             cheaptrick_floor=cheaptrick_floor,
             f0_analyzer=self.f0_analyzer)
+        return out, F
+
+    def extract_all_fetch(self, handle):
+        """Block on a dispatched extract_all_async handle; one batched
+        device fetch, host float64 dict."""
+        import jax as _jax
+
+        out, F = handle
         f0, mcep, codeap, npow = _jax.device_get(out)
         return {
             "f0": np.asarray(f0, np.float64)[:F],
