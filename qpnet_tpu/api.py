@@ -109,6 +109,70 @@ class Vocoder:
         h = self.scaler.transform(feats)
         return h.astype(np.float32), d.astype(np.float32)
 
+    # ---- analysis frontend (wav -> conditioning features) ----
+
+    def analyze(self, wav: np.ndarray, minf0: float = 40.0,
+                maxf0: float = 400.0, f0_analyzer: str = "harvest",
+                dsp_backend: str = "jax") -> np.ndarray:
+        """One utterance's waveform -> raw `/world`-schema aux features
+        (F, n_aux) = [uv | cont-F0(20 Hz LPF) | mcep | codeap], exactly
+        what `feature_extract` writes and `synthesize()` conditions on.
+
+        The feature geometry (mcep dim/alpha, fftl, shift) comes from the
+        fs-keyed AcousticConfig table so it matches the training recipe's.
+        `wav` may be float in [-1, 1) (the synthesize() output
+        convention) or int16-scale; analysis always runs at int16 scale
+        like the recipe (reference analyzes int16-scale floats,
+        feature_extract.py:313).  dsp_backend="jax" routes through the
+        fused one-dispatch device pipeline (WorldAnalyzer.extract_all);
+        "numpy" is the float64 host path.
+        """
+        from qpnet_tpu.config import AcousticConfig
+        from qpnet_tpu.dsp import low_cut_filter
+        from qpnet_tpu.dsp.contf0 import smoothed_continuous_f0
+        from qpnet_tpu.dsp.world import WorldAnalyzer
+
+        ac = AcousticConfig(fs=self.fs, minf0=minf0, maxf0=maxf0)
+        x = np.asarray(wav, np.float64)
+        if x.ndim != 1:
+            raise ValueError(f"wav must be 1-D, got {x.shape}")
+        if np.abs(x).max() <= 1.0:
+            x = x * 32768.0
+        if ac.highpass_cutoff:
+            x = low_cut_filter(x, self.fs, cutoff=ac.highpass_cutoff)
+        analyzer = WorldAnalyzer(
+            fs=self.fs, shiftms=ac.shiftms, minf0=minf0, maxf0=maxf0,
+            fftl=ac.fftl, f0_analyzer=f0_analyzer,
+            backend=dsp_backend,
+            f0_backend="jax" if dsp_backend == "jax" else "host")
+        if dsp_backend == "jax":
+            out = analyzer.extract_all(x, dim=ac.mcep_dim,
+                                       alpha=ac.mcep_alpha)
+            f0, mcep, codeap = out["f0"], out["mcep"], out["codeap"]
+        else:
+            f0, _, _ = analyzer.analyze(x)
+            mcep = analyzer.mcep(dim=ac.mcep_dim, alpha=ac.mcep_alpha)
+            codeap = analyzer.codeap()
+        uv, cont_f0_lpf = smoothed_continuous_f0(f0, ac.shiftms)
+        feats = np.concatenate(
+            [uv[:, None], cont_f0_lpf[:, None], mcep, codeap], axis=1)
+        if feats.shape[1] != self.cfg.n_aux:
+            raise ValueError(
+                f"analysis produced {feats.shape[1]}-dim features but the "
+                f"model expects n_aux={self.cfg.n_aux}; the model was "
+                "trained with a non-default feature geometry — extract "
+                "features with the training recipe instead")
+        return feats.astype(np.float32)
+
+    def vocode(self, wav: np.ndarray, f0_factor: float = 1.0,
+               **analyze_kw) -> np.ndarray:
+        """wav in, re-vocoded wav out: analyze() then synthesize(), with
+        optional F0 scaling — the reference's headline transformation
+        (run_QP.sh stage 5/6 decodes at F0 x0.5/x1.5) as one in-process
+        call."""
+        return self.synthesize(self.analyze(wav, **analyze_kw),
+                               f0_factor=f0_factor)
+
     # ---- one-shot synthesis ----
 
     def synthesize(self, feats: np.ndarray, f0_factor: float = 1.0

@@ -18,9 +18,8 @@ import numpy as np
 from scipy.io import wavfile
 
 from qpnet_tpu.data import check_hdf5, find_files, read_hdf5, read_txt, write_hdf5
-from qpnet_tpu.dsp import (
-    convert_continuous_f0, extfrm, low_cut_filter, low_pass_filter,
-)
+from qpnet_tpu.dsp import extfrm, low_cut_filter
+from qpnet_tpu.dsp.contf0 import smoothed_continuous_f0
 from qpnet_tpu.dsp.world import WorldAnalyzer, WorldSynthesizer, decode_aperiodicity
 from qpnet_tpu.ops import extend_time
 from qpnet_tpu.utils import (
@@ -108,20 +107,10 @@ def _load_wav(wav_name, args):
 
 
 def _smoothed_cont_f0(f0, shiftms):
-    """Continuous-F0 track, low-pass smoothed at 20 Hz.  If smoothing
-    ringing drives any frame non-positive, retry with progressively wider
-    cutoffs until the track stays positive (reference escalation policy,
-    feature_extract.py:329-335)."""
-    uv, cont_f0 = convert_continuous_f0(f0)
-    frame_rate = int(1.0 / (shiftms * 0.001))
-    smoothed = low_pass_filter(cont_f0, frame_rate, cutoff=20)
-    cutoff = 70
-    while not (smoothed > 0).all():
-        logging.info("cont-F0 smoothing went non-positive; widening the "
-                     "low-pass cutoff to %d Hz", cutoff)
-        smoothed = low_pass_filter(cont_f0, frame_rate, cutoff=cutoff)
-        cutoff *= 2
-    return uv, smoothed
+    """Continuous-F0 track, low-pass smoothed at 20 Hz with the
+    reference's widening-cutoff retry (dsp.contf0.smoothed_continuous_f0,
+    shared with Vocoder.analyze)."""
+    return smoothed_continuous_f0(f0, shiftms)
 
 
 def _use_fused_analysis(analyzer, args):

@@ -27,3 +27,27 @@ def convert_continuous_f0(f0: np.ndarray):
     nz_frames = np.where(cont_f0 != 0)[0]
     cont_f0 = np.interp(np.arange(len(cont_f0)), nz_frames, cont_f0[nz_frames])
     return uv, cont_f0
+
+
+def smoothed_continuous_f0(f0: np.ndarray, shiftms: float,
+                           cutoff: float = 20):
+    """(uv, cont_f0_lpf): continuous-F0 low-passed at `cutoff` Hz; if the
+    smoothing ringing drives any frame non-positive, retry with
+    progressively wider cutoffs until the track stays positive (the
+    reference's escalation policy, feature_extract.py:329-335)."""
+    from qpnet_tpu.dsp.filters import low_pass_filter
+
+    uv, cont_f0 = convert_continuous_f0(f0)
+    if not np.any(cont_f0 > 0):
+        # fully-unvoiced input: no cutoff can make the track positive
+        # (the reference's escalation would run the cutoff past Nyquist)
+        return uv, cont_f0
+    frame_rate = int(1.0 / (shiftms * 0.001))
+    smoothed = low_pass_filter(cont_f0, frame_rate, cutoff=cutoff)
+    widened = 70
+    while not (smoothed > 0).all():
+        logging.info("cont-F0 smoothing went non-positive; widening the "
+                     "low-pass cutoff to %d Hz", widened)
+        smoothed = low_pass_filter(cont_f0, frame_rate, cutoff=widened)
+        widened *= 2
+    return uv, smoothed

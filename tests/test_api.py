@@ -166,3 +166,59 @@ def test_feats_shape_validated(expdir):
     voc = Vocoder.load(str(tmp), stats=str(tmp / "stats.h5"))
     with pytest.raises(ValueError, match="feats must be"):
         voc.conditioning(np.zeros((5, cfg.n_aux + 2)))
+
+
+@pytest.mark.slow
+def test_analyze_matches_feature_extract(tmp_path):
+    """Vocoder.analyze produces exactly the `/world` features the
+    extraction CLI writes for the same wav (same fused device pipeline,
+    same cont-F0 smoothing), so vocode() conditions on recipe-identical
+    features."""
+    from qpnet_tpu.bin import feature_extract
+    from qpnet_tpu.data import read_hdf5, write_txt
+
+    fs = 16000
+    rng = np.random.default_rng(0)
+    n = int(0.7 * fs)
+    ph = 2 * np.pi * np.cumsum(np.linspace(130, 170, n)) / fs
+    x = ((0.5 * np.sin(ph) + 0.2 * np.sin(2 * ph)
+          + 0.01 * rng.normal(size=n)) * 12000).astype(np.int16)
+    wav = tmp_path / "utt.wav"
+    wavfile.write(str(wav), fs, x)
+    write_txt(str(tmp_path / "wavs.scp"), [str(wav)])
+    feature_extract.main([
+        "--waveforms", str(tmp_path / "wavs.scp"), "--fs", str(fs),
+        "--mcep_dim", "24", "--mcep_alpha", "0.410", "--maxf0", "400",
+        "--dsp_backend", "jax", "--f0_backend", "jax",
+        "--feature_dir", str(tmp_path) + "/h5/", "--n_jobs", "1",
+        "--verbose", "0"])
+    want = read_hdf5(str(tmp_path / "h5" / "utt.h5"), "/world")
+
+    cfg = ModelConfig(n_quantize=32, n_aux=28, n_resch=16, n_skipch=8,
+                      dilationF_depth=2, dilationF_repeat=1,
+                      dilationA_depth=2, dilationA_repeat=1,
+                      upsampling_factor=80)
+    voc = Vocoder(init_params(jax.random.PRNGKey(0), cfg), cfg, None,
+                  fs=fs, mode="argmax", engine="xla")
+    got = voc.analyze(x.astype(np.float64))         # int16-scale input
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    got_unit = voc.analyze(x.astype(np.float64) / 32768.0)  # [-1,1) input
+    np.testing.assert_allclose(got_unit, want, atol=1e-4)
+
+    # wav -> wav round trip through the (untrained) model: correct length
+    # and finite output at a scaled F0
+    out = voc.vocode(x.astype(np.float64) / 32768.0, f0_factor=1.5)
+    assert out.shape == (want.shape[0] * cfg.upsampling_factor - 1,)
+    assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
+
+
+def test_analyze_rejects_wrong_geometry():
+    cfg = ModelConfig(n_quantize=32, n_aux=4, n_resch=8, n_skipch=8,
+                      dilationF_depth=1, dilationF_repeat=1,
+                      dilationA_depth=1, dilationA_repeat=1,
+                      upsampling_factor=5)
+    voc = Vocoder(None, cfg, None, fs=16000)
+    t = np.arange(16000) / 16000.0
+    tone = 0.5 * np.sin(2 * np.pi * 150 * t)
+    with pytest.raises(ValueError, match="n_aux"):
+        voc.analyze(tone, dsp_backend="numpy")
