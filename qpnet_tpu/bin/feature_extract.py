@@ -259,11 +259,10 @@ def world_feature_extract(wav_list, args):
         _analyze_and_write(analyzer, args, x, None, feat_name)
 
 
-def world_speech_synthesis(wav_list, args):
-    """Analysis-synthesis restore pass (reference feature_extract.py:215-274)."""
-    synthesizer = WorldSynthesizer(fs=args.fs, fftl=args.fftl,
-                                   shiftms=args.shiftms)
+def _restore_jobs(wav_list, args):
+    """(index, restored_name, feat_name) for utterances still to render."""
     n = len(wav_list)
+    jobs = []
     for i, wav_name in enumerate(wav_list):
         if args.feature_dir is None:
             restored_name = wav_name.replace(
@@ -281,28 +280,88 @@ def world_speech_synthesis(wav_list, args):
             logging.info("[%d/%d] %s already synthesized, skipping",
                          i + 1, n, restored_name)
             continue
+        jobs.append((i, restored_name, feat_name))
+    return jobs
+
+
+def _load_restore_inputs(feat_name, args):
+    """One utterance's (f0, mcep, ap, codeap) from its feature file.
+    `codeap` is None when a raw /ap dataset overrides the coded one;
+    `ap` is decoded lazily (None when codeap is available — the device
+    path decodes on chip)."""
+    if not check_hdf5(feat_name, "/world"):
+        logging.error("missing feature file %s (run extraction first)",
+                      feat_name)
+        sys.exit(1)
+    h = read_hdf5(feat_name, "/world")
+    if check_hdf5(feat_name, "/f0"):
+        f0 = read_hdf5(feat_name, "/f0")
+    else:
+        uv = h[:, 0].copy()
+        f0 = h[:, args.f0_dim_idx].copy()
+        f0[uv == 0.0] = 0.0
+    ap, codeap = None, None
+    if check_hdf5(feat_name, "/ap"):
+        ap = read_hdf5(feat_name, "/ap")
+    else:
+        codeap = h[:, args.ap_dim_idx:].copy()
+    mcep = h[:, args.mcep_dim_start: args.mcep_dim_end].copy()
+    return f0, mcep, ap, codeap
+
+
+def _write_restored(restored_name, wav, fs):
+    wav = np.clip(wav, -32768, 32767)
+    os.makedirs(os.path.dirname(restored_name), exist_ok=True)
+    wavfile.write(restored_name, fs, wav.astype(np.int16))
+
+
+def world_speech_synthesis(wav_list, args):
+    """Analysis-synthesis restore pass (reference feature_extract.py:215-274).
+
+    Under `--dsp_backend jax` the pulse construction runs on the
+    accelerator (dsp/world/jax_synthesis) with utterance k+1's program
+    dispatched while the device still renders k — the same depth-2
+    pipelining as the fused extraction path."""
+    backend = getattr(args, "dsp_backend", "numpy")
+    synthesizer = WorldSynthesizer(fs=args.fs, fftl=args.fftl,
+                                   shiftms=args.shiftms, backend=backend)
+    n = len(wav_list)
+    jobs = _restore_jobs(wav_list, args)
+    if backend == "jax":
+        from collections import deque
+
+        pending = deque()
+
+        def drain():
+            (i, restored_name), handle = pending.popleft()
+            logging.info("[%d/%d] re-synthesizing %s", i + 1, n,
+                         restored_name)
+            _write_restored(restored_name,
+                            synthesizer.synthesis_fetch(handle), args.fs)
+
+        for i, restored_name, feat_name in jobs:
+            f0, mcep, ap, codeap = _load_restore_inputs(feat_name, args)
+            if codeap is not None:
+                # fused device restore: decode + mc2sp + synthesis in one
+                # dispatch, coded-feature-sized upload
+                handle = synthesizer.restore_async(
+                    f0, mcep, codeap, alpha=args.mcep_alpha)
+            else:
+                handle = synthesizer.synthesis_async(
+                    f0, mcep, ap, alpha=args.mcep_alpha)
+            pending.append(((i, restored_name), handle))
+            while len(pending) > 2:
+                drain()
+        while pending:
+            drain()
+        return
+    for i, restored_name, feat_name in jobs:
         logging.info("[%d/%d] re-synthesizing %s", i + 1, n, restored_name)
-        if not check_hdf5(feat_name, "/world"):
-            logging.error("missing feature file %s (run extraction first)",
-                          feat_name)
-            sys.exit(1)
-        h = read_hdf5(feat_name, "/world")
-        if check_hdf5(feat_name, "/f0"):
-            f0 = read_hdf5(feat_name, "/f0")
-        else:
-            uv = h[:, 0].copy()
-            f0 = h[:, args.f0_dim_idx].copy()
-            f0[uv == 0.0] = 0.0
-        if check_hdf5(feat_name, "/ap"):
-            ap = read_hdf5(feat_name, "/ap")
-        else:
-            codeap = h[:, args.ap_dim_idx:].copy()
+        f0, mcep, ap, codeap = _load_restore_inputs(feat_name, args)
+        if ap is None:
             ap = decode_aperiodicity(codeap, args.fs, args.fftl)
-        mcep = h[:, args.mcep_dim_start: args.mcep_dim_end].copy()
         wav = synthesizer.synthesis(f0, mcep, ap, alpha=args.mcep_alpha)
-        wav = np.clip(wav, -32768, 32767)
-        os.makedirs(os.path.dirname(restored_name), exist_ok=True)
-        wavfile.write(restored_name, args.fs, wav.astype(np.int16))
+        _write_restored(restored_name, wav, args.fs)
 
 
 def featpath_create(wav_list, feature_format):
@@ -350,6 +409,10 @@ def main(argv=None):
             args.n_jobs = 1
     else:
         target_fn, path_create = world_speech_synthesis, wavpath_create
+        if args.dsp_backend == "jax" and args.n_jobs > 1:
+            logging.info("dsp_backend=jax: 1 worker process owns the "
+                         "accelerator for the restore pass")
+            args.n_jobs = 1
     if args.feature_dir is None:
         path_create(file_list, args.feature_format)
     else:

@@ -28,3 +28,4 @@ from qpnet_tpu.dsp.world.api import WorldAnalyzer, WorldSynthesizer  # noqa: F40
 from qpnet_tpu.dsp.world.jax_analysis import (  # noqa: F401
     jax_cheaptrick, jax_d4c, jax_sp2mc,
 )
+from qpnet_tpu.dsp.world.jax_synthesis import jax_synthesize  # noqa: F401

@@ -220,10 +220,14 @@ class WorldAnalyzer:
 
 class WorldSynthesizer:
     def __init__(self, fs: int = 22050, fftl: int = 1024,
-                 shiftms: float = 5.0):
+                 shiftms: float = 5.0, backend: str = "numpy"):
         self.fs = fs
         self.fftl = fftl
         self.shiftms = shiftms
+        # backend: "numpy" = float64 host pulse loop (reference-parity
+        # default); "jax" = batched device synthesis (jax_synthesize) —
+        # same construction, float32, noise realization from the jax PRNG
+        self.backend = backend
 
     def synthesis(self, f0: np.ndarray, mcep: np.ndarray, ap: np.ndarray,
                   alpha: float = 0.455) -> np.ndarray:
@@ -232,8 +236,85 @@ class WorldSynthesizer:
         Units follow the analyzed signal's units (the reference analyzes
         int16-scale floats and writes the synthesis output as int16
         directly, feature_extract.py:267-272)."""
+        if self.backend == "jax":
+            return self.synthesis_fetch(
+                self.synthesis_async(f0, mcep, ap, alpha=alpha))
         sp = mc2sp(mcep, alpha, self.fftl)
         return synthesize(f0, sp, ap, self.fs, frame_period=self.shiftms)
+
+    def synthesis_async(self, f0: np.ndarray, mcep: np.ndarray,
+                        ap: np.ndarray, alpha: float = 0.455,
+                        seed: int = 0):
+        """Dispatch one utterance's device synthesis without fetching —
+        jax dispatch is async, so a worker can enqueue utterance k+1
+        while the device still renders k (bin/feature_extract.py's
+        restore pass pipelines this way).  The frame axis is padded to
+        whole-second buckets (repeat-last rows — interpolation clamps
+        keep the pulse track over the true frames unchanged) so the jit
+        compiles once per duration bucket; output is deterministic per
+        (seed, bucket)."""
+        f0 = np.asarray(f0, np.float64)
+        sp = mc2sp(mcep, alpha, self.fftl)          # host mc2sp: float64
+        ap = np.atleast_2d(np.asarray(ap, np.float64))
+        F = len(f0)
+        n_true = int(F * self.shiftms / 1000.0 * self.fs)
+        frames_per_sec = int(round(1000.0 / self.shiftms))
+        F_pad = max(1, -(-F // frames_per_sec)) * frames_per_sec
+        pad = F_pad - F
+        f032 = np.concatenate([f0, np.repeat(f0[-1:], pad)]).astype(
+            np.float32)
+        sp32 = np.concatenate([sp, np.repeat(sp[-1:], pad, 0)]).astype(
+            np.float32)
+        ap32 = np.concatenate([ap, np.repeat(ap[-1:], pad, 0)]).astype(
+            np.float32)
+        # static pulse-slot ceiling: 800 Hz covers speech; double per
+        # bucket for higher tracks so the slots never overflow
+        ceil = 800.0
+        fmax = float(f0.max(initial=0.0))
+        while fmax > ceil:
+            ceil *= 2.0
+        from qpnet_tpu.dsp.world.jax_synthesis import jax_synthesize
+        out = jax_synthesize(f032, sp32, ap32, np.uint32(seed), self.fs,
+                             frame_period=float(self.shiftms), f0_ceil=ceil)
+        return out, n_true
+
+    def synthesis_fetch(self, handle) -> np.ndarray:
+        """Block on a synthesis_async handle: float64 waveform."""
+        out, n_true = handle
+        return np.asarray(out, np.float64)[:n_true]
+
+    def restore_async(self, f0: np.ndarray, mcep: np.ndarray,
+                      codeap: np.ndarray, alpha: float = 0.455,
+                      seed: int = 0):
+        """Fused device restore: mel-cepstrum + CODED aperiodicity ->
+        waveform in one dispatch (jax_synthesis.jax_restore) — mc2sp and
+        the aperiodicity decode run on device, so the upload is the
+        coded features, not full spectra.  Same bucketing/fetch contract
+        as synthesis_async."""
+        f0 = np.asarray(f0, np.float64)
+        mcep = np.atleast_2d(np.asarray(mcep, np.float64))
+        codeap = np.atleast_2d(np.asarray(codeap, np.float64))
+        F = len(f0)
+        n_true = int(F * self.shiftms / 1000.0 * self.fs)
+        frames_per_sec = int(round(1000.0 / self.shiftms))
+        F_pad = max(1, -(-F // frames_per_sec)) * frames_per_sec
+        pad = F_pad - F
+        f032 = np.concatenate([f0, np.repeat(f0[-1:], pad)]).astype(
+            np.float32)
+        mc32 = np.concatenate([mcep, np.repeat(mcep[-1:], pad, 0)]).astype(
+            np.float32)
+        ca32 = np.concatenate([codeap,
+                               np.repeat(codeap[-1:], pad, 0)]).astype(
+            np.float32)
+        ceil = 800.0
+        fmax = float(f0.max(initial=0.0))
+        while fmax > ceil:
+            ceil *= 2.0
+        from qpnet_tpu.dsp.world.jax_synthesis import jax_restore
+        out = jax_restore(f032, mc32, ca32, np.float32(alpha),
+                          np.uint32(seed), self.fs, fftl=self.fftl,
+                          frame_period=float(self.shiftms), f0_ceil=ceil)
+        return out, n_true
 
     def synthesis_diff(self, x: np.ndarray, diffmcep: np.ndarray,
                        alpha: float = 0.455) -> np.ndarray:
