@@ -102,6 +102,8 @@ class Vocoder:
         if feats.ndim != 2 or feats.shape[1] != self.cfg.n_aux:
             raise ValueError(
                 f"feats must be (F, {self.cfg.n_aux}), got {feats.shape}")
+        if feats.shape[0] == 0:
+            raise ValueError("empty conditioning (0 frames)")
         feats[:, self.f0_dim_index] *= f0_factor
         d = dilated_factor(
             np.ascontiguousarray(feats[:, self.f0_dim_index]),

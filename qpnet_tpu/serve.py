@@ -209,6 +209,10 @@ class StreamingService:
         if h.ndim != 2 or h.shape[1] != self.cfg.n_aux:
             raise ValueError(f"h must be (F, {self.cfg.n_aux}), "
                              f"got {h.shape}")
+        if h.shape[0] == 0:
+            # an empty utterance inside a group would index h[-1] when
+            # padding the batch block — reject it at the door instead
+            raise ValueError("empty conditioning (0 frames)")
         if d.shape != (h.shape[0],):
             raise ValueError(f"d must be ({h.shape[0]},), got {d.shape}")
         if float(d.max(initial=0.0)) > self.maxd:
@@ -468,9 +472,15 @@ def request_stream(address, h: np.ndarray, d: Optional[np.ndarray] = None):
         s.sendall(json.dumps(header).encode() + b"\n" + payload)
         rfile = s.makefile("rb")
         while True:
-            n = struct.unpack("<I", rfile.read(4))[0]
+            hdr = rfile.read(4)
+            if len(hdr) != 4:
+                raise ConnectionError("server closed mid-stream")
+            n = struct.unpack("<I", hdr)[0]
             if n == _ERR_SENTINEL:
                 raise RuntimeError(json.loads(rfile.readline())["error"])
             if n == 0:
                 return
-            yield np.frombuffer(rfile.read(2 * n), "<i2")
+            buf = rfile.read(2 * n)
+            if len(buf) != 2 * n:
+                raise ConnectionError("server closed mid-chunk")
+            yield np.frombuffer(buf, "<i2")

@@ -166,6 +166,8 @@ def test_feats_shape_validated(expdir):
     voc = Vocoder.load(str(tmp), stats=str(tmp / "stats.h5"))
     with pytest.raises(ValueError, match="feats must be"):
         voc.conditioning(np.zeros((5, cfg.n_aux + 2)))
+    with pytest.raises(ValueError, match="empty"):
+        voc.conditioning(np.zeros((0, cfg.n_aux)))
 
 
 @pytest.mark.slow

@@ -102,6 +102,10 @@ def test_submit_validation(model):
         with pytest.raises(ValueError, match="exceeds"):
             svc.submit(np.zeros((5, cfg.n_aux), np.float32),
                        np.full(5, 99.0, np.float32))
+        # an empty request must be rejected, not crash its whole group
+        with pytest.raises(ValueError, match="empty"):
+            svc.submit(np.zeros((0, cfg.n_aux), np.float32),
+                       np.zeros(0, np.float32))
     finally:
         svc.close()
 
