@@ -381,14 +381,22 @@ class StreamingService:
 _ERR_SENTINEL = 0xFFFFFFFF
 
 
-def _read_exact(rfile, n: int) -> bytes:
-    """Exact read through the handler's BUFFERED rfile (the header
-    readline may already hold payload bytes in its buffer, so reading
-    the raw socket here would deadlock)."""
+def _read_exact(rfile, n: int, what: str = "client closed mid-message"
+                ) -> bytes:
+    """Exact read through a BUFFERED rfile (a prior readline may already
+    hold payload bytes in its buffer, so reading the raw socket here
+    would deadlock).  Raises ConnectionError(`what`) on a short read."""
     buf = rfile.read(n)
     if len(buf) != n:
-        raise ConnectionError("client closed mid-message")
+        raise ConnectionError(what)
     return buf
+
+
+# sanity cap on the per-request frame count the TCP server will size
+# reads for (~2.8 h of audio at 5 ms frames); a negative or absurd count
+# must be rejected BEFORE the handler blocks reading a payload that will
+# never arrive
+_MAX_WIRE_FRAMES = 2_000_000
 
 
 class _Handler(socketserver.StreamRequestHandler):
@@ -398,6 +406,9 @@ class _Handler(socketserver.StreamRequestHandler):
         try:
             header = json.loads(self.rfile.readline())
             F = int(header["frames"])
+            if not 0 < F <= _MAX_WIRE_FRAMES:
+                raise ValueError(f"frames must be in (0, "
+                                 f"{_MAX_WIRE_FRAMES}], got {F}")
             feats = np.frombuffer(
                 _read_exact(self.rfile, 4 * F * cfg.n_aux),
                 "<f4").reshape(F, cfg.n_aux)
@@ -472,15 +483,15 @@ def request_stream(address, h: np.ndarray, d: Optional[np.ndarray] = None):
         s.sendall(json.dumps(header).encode() + b"\n" + payload)
         rfile = s.makefile("rb")
         while True:
-            hdr = rfile.read(4)
-            if len(hdr) != 4:
-                raise ConnectionError("server closed mid-stream")
+            hdr = _read_exact(rfile, 4, "server closed mid-stream")
             n = struct.unpack("<I", hdr)[0]
             if n == _ERR_SENTINEL:
-                raise RuntimeError(json.loads(rfile.readline())["error"])
+                line = rfile.readline()
+                if not line.endswith(b"\n"):
+                    raise ConnectionError("server closed mid-error")
+                raise RuntimeError(json.loads(line)["error"])
             if n == 0:
                 return
-            buf = rfile.read(2 * n)
-            if len(buf) != 2 * n:
-                raise ConnectionError("server closed mid-chunk")
-            yield np.frombuffer(buf, "<i2")
+            yield np.frombuffer(
+                _read_exact(rfile, 2 * n, "server closed mid-chunk"),
+                "<i2")

@@ -127,6 +127,19 @@ def test_request_stream_helper_and_error_sentinel(model):
         with pytest.raises(RuntimeError, match="exceeds"):
             list(request_stream(srv.server_address, h,
                                 np.full(F, 99.0, np.float32)))
+        # a hostile frames count must be rejected BEFORE the handler
+        # sizes payload reads (negative/huge F would otherwise block the
+        # handler forever waiting on bytes the client never sends)
+        import json as _json
+        import socket as _socket
+        import struct as _struct
+        for bad_f in (-1, 0, 2 ** 31):
+            with _socket.create_connection(srv.server_address) as s:
+                s.sendall(_json.dumps({"frames": bad_f}).encode() + b"\n")
+                rf = s.makefile("rb")
+                sentinel = _struct.unpack("<I", rf.read(4))[0]
+                assert sentinel == 0xFFFFFFFF
+                assert b"frames" in rf.readline()
     finally:
         srv.shutdown()
         svc.close()
