@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 import os
+import signal
 import time
 from typing import Optional, Sequence
 
@@ -28,6 +29,61 @@ from qpnet_tpu.train.checkpoint import (
     load_checkpoint, save_checkpoint, save_final,
 )
 from qpnet_tpu.train.step import TrainState, make_optimizer, make_train_step
+
+
+class PreemptionGuard:
+    """Cooperative preemption for the training loop.
+
+    TPU pods are routinely evicted with a SIGTERM grace window; the
+    reference's crash-stop model (SURVEY.md §5: recovery is a manual
+    `--resume`) loses everything since the last interval checkpoint.
+    Installed around the training loop, this guard turns the eviction
+    notice into a clean save-and-exit: the in-flight step finishes, a
+    `checkpoint-<iter>` is written, and the process exits 0 — so a
+    restarted job with `--resume auto` continues from the exact
+    iteration it left off.
+
+    `QPNET_PREEMPT_AFTER=N` trips the guard after N steps of this
+    process — a deterministic fault-injection knob (tests use it to pin
+    the save-and-exit path without racing a real signal).
+
+    Multi-host note: the eviction signal reaches every process on a
+    preempted slice, so the orbax collective save sees all hosts; with
+    the pickle backend only the lead writes, as at interval checkpoints.
+    """
+
+    def __init__(self):
+        self.signum: Optional[int] = None
+        self._prev = None
+        self._installed = False
+        after = os.environ.get("QPNET_PREEMPT_AFTER")
+        self._after = int(after) if after else None
+        self._steps = 0
+
+    def install(self) -> "PreemptionGuard":
+        try:
+            self._prev = signal.signal(signal.SIGTERM, self._on_signal)
+            self._installed = True
+        except ValueError:
+            # not the main thread (in-process embedding): the env knob
+            # still works, the signal hook is simply unavailable
+            pass
+        return self
+
+    def uninstall(self):
+        if self._installed:
+            signal.signal(signal.SIGTERM, self._prev)
+            self._installed = False
+
+    def _on_signal(self, signum, frame):
+        self.signum = signum
+
+    def tripped_after_step(self) -> bool:
+        """Call once per completed training iteration."""
+        self._steps += 1
+        if self._after is not None and self._steps >= self._after:
+            return True
+        return self.signum is not None
 
 
 def run_training(cfg: ModelConfig, tcfg: TrainConfig,
@@ -167,45 +223,67 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
         from qpnet_tpu.models.generate import bucket_maxd
         return int(bucket_maxd(float(np.ceil(d_np.max()))))
 
-    for i in range(iterations, tcfg.iters):
-        batch_np = generator.next()
-        batch_np.pop("window_lens", None)  # host-side diagnostic only
-        if mesh is not None:
-            batch = make_global_batch(
-                mesh, {k: v for k, v in batch_np.items() if np.ndim(v) > 0})
-            # every host must mask the same loss positions
-            batch["valid_len"] = jnp.asarray(
-                global_min_scalar(batch_np["valid_len"]))
-            state, loss = step_fn(state, batch)
-        else:
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-            state, loss = step_fn(state, batch,
-                                  _maxd_bucket(batch_np["d"]))
-        pending_losses.append(loss)
-        logged = (i + 1) % tcfg.intervals == 0
-        if logged:
-            avg = float(jnp.mean(jnp.stack(pending_losses)))
-            sec = (time.time() - interval_start) / len(pending_losses)
-            eta = int((tcfg.iters - (i + 1)) * sec)
-            logging.info("(iter:%d) average loss = %.6f (%.3f sec / batch) "
-                         "ETA %02d:%02d:%02d", i + 1, avg, sec,
-                         eta // 3600, (eta % 3600) // 60, eta % 60)
-            loss_record.append(avg)
-            pending_losses = []
-        if (i + 1) % tcfg.checkpoint_interval == 0 and (is_lead
-                                                        or save_collective):
-            # pickle: only the lead writes (params are replicated); orbax
-            # multi-host saves are collective barriers — EVERY process
-            # must call or the lead deadlocks in the commit sync
-            t_save = time.time()
-            save_checkpoint(expdir, state.params, state.opt_state, i + 1)
-            # checkpoint-write seconds must not inflate the next logged
-            # sec/batch and ETA
-            interval_start += time.time() - t_save
-            if is_lead:
-                logging.info("%d-iter checkpoint created.", i + 1)
-        if logged:
-            interval_start = time.time()
+    guard = PreemptionGuard().install()
+    try:
+        for i in range(iterations, tcfg.iters):
+            batch_np = generator.next()
+            batch_np.pop("window_lens", None)  # host-side diagnostic only
+            if mesh is not None:
+                batch = make_global_batch(
+                    mesh,
+                    {k: v for k, v in batch_np.items() if np.ndim(v) > 0})
+                # every host must mask the same loss positions
+                batch["valid_len"] = jnp.asarray(
+                    global_min_scalar(batch_np["valid_len"]))
+                state, loss = step_fn(state, batch)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+                state, loss = step_fn(state, batch,
+                                      _maxd_bucket(batch_np["d"]))
+            pending_losses.append(loss)
+            logged = (i + 1) % tcfg.intervals == 0
+            if logged:
+                avg = float(jnp.mean(jnp.stack(pending_losses)))
+                sec = (time.time() - interval_start) / len(pending_losses)
+                eta = int((tcfg.iters - (i + 1)) * sec)
+                logging.info("(iter:%d) average loss = %.6f (%.3f sec / "
+                             "batch) ETA %02d:%02d:%02d", i + 1, avg, sec,
+                             eta // 3600, (eta % 3600) // 60, eta % 60)
+                loss_record.append(avg)
+                pending_losses = []
+            saved_here = (i + 1) % tcfg.checkpoint_interval == 0
+            if saved_here and (is_lead or save_collective):
+                # pickle: only the lead writes (params are replicated);
+                # orbax multi-host saves are collective barriers — EVERY
+                # process must call or the lead deadlocks in the commit
+                # sync
+                t_save = time.time()
+                save_checkpoint(expdir, state.params, state.opt_state,
+                                i + 1)
+                # checkpoint-write seconds must not inflate the next
+                # logged sec/batch and ETA
+                interval_start += time.time() - t_save
+                if is_lead:
+                    logging.info("%d-iter checkpoint created.", i + 1)
+            if logged:
+                interval_start = time.time()
+            if guard.tripped_after_step() and (i + 1) < tcfg.iters:
+                # eviction notice: persist progress and exit cleanly —
+                # `--resume auto` on the replacement job picks up here
+                if not saved_here and (is_lead or save_collective):
+                    save_checkpoint(expdir, state.params, state.opt_state,
+                                    i + 1)
+                if is_lead:
+                    logging.warning(
+                        "preemption%s at iteration %d: checkpoint saved, "
+                        "exiting (resume with --resume auto)",
+                        f" (signal {guard.signum})" if guard.signum
+                        else "", i + 1)
+                    with open(flossyml, "w", encoding="utf-8") as yf:
+                        yaml.safe_dump([float(x) for x in loss_record], yf)
+                return
+    finally:
+        guard.uninstall()
 
     if is_lead or save_collective:
         save_final(expdir, state.params)

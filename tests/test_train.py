@@ -230,3 +230,61 @@ def test_run_training_with_mesh(tmp_path):
     assert os.path.exists(str(tmp_path / "exp" / "checkpoint-final.pkl"))
     assert os.path.exists(str(tmp_path / "exp" / "checkpoint-6.pkl"))
     assert os.path.exists(str(tmp_path / "exp" / "loss-final.yml"))
+
+
+def test_preemption_checkpoint_and_resume(tmp_path, monkeypatch):
+    """An eviction mid-run must leave a resumable checkpoint and exit the
+    loop cleanly (no checkpoint-final), and `--resume auto` must finish
+    the budget from exactly that iteration.  QPNET_PREEMPT_AFTER is the
+    deterministic fault-injection stand-in for the SIGTERM a preempted
+    TPU slice receives."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from helpers import make_synthetic_corpus
+    from qpnet_tpu.config import TrainConfig
+    from qpnet_tpu.train.trainer import run_training
+
+    cfg = tiny_cfg()
+    wavs, feats = make_synthetic_corpus(str(tmp_path), n_utts=2, fs=1000,
+                                        up=10, n_aux=4)
+    from qpnet_tpu.data.stats import calc_stats
+    stats = str(tmp_path / "stats.h5")
+    calc_stats(feats, stats)
+    expdir = str(tmp_path / "exp")
+    tcfg = TrainConfig(lr=1e-3, iters=9, checkpoint_interval=100,
+                       batch_length=300, batch_size=1, max_length=900,
+                       intervals=2)
+    monkeypatch.setenv("QPNET_PREEMPT_AFTER", "3")
+    run_training(cfg, tcfg, wavs, feats, stats, expdir)
+    assert os.path.exists(os.path.join(expdir, "checkpoint-3.pkl"))
+    assert not os.path.exists(os.path.join(expdir, "checkpoint-final.pkl"))
+    # the interval log yml reflects completed intervals only
+    assert os.path.exists(os.path.join(expdir, "loss-final.yml"))
+
+    monkeypatch.delenv("QPNET_PREEMPT_AFTER")
+    run_training(cfg, tcfg, wavs, feats, stats, expdir, resume="auto")
+    assert os.path.exists(os.path.join(expdir, "checkpoint-final.pkl"))
+    from qpnet_tpu.train.checkpoint import load_checkpoint
+    # resumed run continued from iteration 3 (not from scratch): the
+    # final interval checkpoint budget is the remaining 6 iterations
+    assert not os.path.exists(os.path.join(expdir, "checkpoint-100.pkl"))
+
+
+def test_preemption_guard_signal_path():
+    """The guard must trip on a real SIGTERM and restore the previous
+    handler on uninstall."""
+    import signal
+
+    from qpnet_tpu.train.trainer import PreemptionGuard
+
+    prev = signal.getsignal(signal.SIGTERM)
+    g = PreemptionGuard().install()
+    try:
+        assert not g.tripped_after_step()
+        signal.raise_signal(signal.SIGTERM)
+        assert g.tripped_after_step()
+        assert g.signum == signal.SIGTERM
+    finally:
+        g.uninstall()
+    assert signal.getsignal(signal.SIGTERM) is prev
