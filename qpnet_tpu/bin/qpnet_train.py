@@ -52,6 +52,11 @@ def get_arguments(argv=None):
     parser.add_argument("--n_devices", default=1, type=int,
                         help="data-parallel over this many devices "
                              "(batch_size must be divisible by it)")
+    parser.add_argument("--tp", default=1, type=int,
+                        help="tensor-parallel group size: model channel "
+                             "dims shard over a (dp=n_devices/tp, tp) "
+                             "mesh (tp must divide n_devices and "
+                             "n_resch)")
     parser.add_argument("--coordinator", default=None, type=str,
                         help="multi-host: coordinator address host:port "
                              "(or env QPNET_COORDINATOR)")
@@ -145,12 +150,13 @@ def main(argv=None):
     if multihost:
         # the dp mesh spans every device of every host
         from qpnet_tpu.parallel import make_mesh
-        mesh = make_mesh()
-    elif args.n_devices > 1:
+        mesh = make_mesh(tp=args.tp)
+    elif args.n_devices > 1 or args.tp > 1:
         from qpnet_tpu.parallel import make_mesh
-        mesh = make_mesh(args.n_devices)
-        assert args.batch_size % args.n_devices == 0, \
-            "batch_size must be divisible by n_devices"
+        mesh = make_mesh(max(args.n_devices, args.tp), tp=args.tp)
+        assert args.batch_size % (max(args.n_devices, args.tp)
+                                  // args.tp) == 0, \
+            "batch_size must be divisible by the dp axis (n_devices/tp)"
     run_training(cfg, tcfg, wav_list, feat_list, args.stats, args.expdir,
                  feature_type=args.feature_type, resume=resume,
                  pretrain=pretrain, mesh=mesh)

@@ -26,8 +26,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: Optional[int] = None,
               axes: Sequence[str] = ("dp",),
-              shape: Optional[Sequence[int]] = None) -> Mesh:
-    """Build a mesh over the first `n_devices` (default: all)."""
+              shape: Optional[Sequence[int]] = None,
+              tp: int = 1) -> Mesh:
+    """Build a mesh over the first `n_devices` (default: all).
+
+    `tp > 1` builds a ("dp", "tp") mesh of shape (n/tp, tp): batches
+    shard over dp, model channel dims over tp (train/step.py::
+    param_sharding_tree).  tp devices should be ICI-adjacent — the tp
+    collectives are per-layer, dp's gradient all-reduce is per-step.
+    """
     devs = jax.devices()
     if n_devices is not None:
         if n_devices > len(devs):
@@ -36,6 +43,11 @@ def make_mesh(n_devices: Optional[int] = None,
                 f"{len(devs)} available ({devs[0].platform}); a silently "
                 f"truncated mesh would hide wrong sharding")
         devs = devs[:n_devices]
+    if tp > 1:
+        if len(devs) % tp:
+            raise ValueError(f"make_mesh: tp={tp} must divide the "
+                             f"{len(devs)}-device mesh")
+        axes, shape = ("dp", "tp"), (len(devs) // tp, tp)
     if shape is None:
         shape = (len(devs),) + (1,) * (len(axes) - 1)
     arr = np.asarray(devs).reshape(shape)

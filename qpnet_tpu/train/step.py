@@ -58,6 +58,85 @@ def masked_ce_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def param_sharding_tree(mesh: Mesh, params: Params):
+    """NamedSharding pytree for the model parameters under `mesh`.
+
+    Without a `tp` axis (or with tp size 1) everything is replicated —
+    the data-parallel layout.  With one, the residual channel dimension
+    is tensor-sharded megatron-style (the scaling-book recipe: annotate,
+    let GSPMD insert the collectives):
+
+      * gate projections `W_cur/W_prev/W_aux/b_gate` column-parallel
+        (the 2R output axis over tp);
+      * `W_skip/W_res` row-parallel (the R input axis over tp) — GSPMD
+        places the psum where their outputs rejoin the replicated skip
+        sum / residual stream;
+      * the causal embeddings shard their R output axis;
+      * the frame upsampler and the S-channel post-net stay replicated
+        (S and the aux dim are small).
+
+    The specs are layout hints, not semantics — GSPMD partitions the
+    same math — but an even layout needs tp | R (and even tp so the
+    tanh|sigmoid halves of the fused 2R gate axis stay device-local).
+    The reference model (R=512) shards up to tp=8 cleanly.  Unnecessary
+    for parity at ~24M params (SURVEY.md §2.3); this is the scale-out
+    path for wider variants.
+    """
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if axes.get("tp", 1) == 1:
+        repl = NamedSharding(mesh, P())
+        return jax.tree_util.tree_map(lambda _: repl, params)
+    blocks = list(params["fixed"]) + list(params["adaptive"])
+    R = blocks[0]["W_res"].shape[0]
+    tp = axes["tp"]
+    if R % tp:
+        raise ValueError(f"tp={tp} must divide n_resch={R}")
+
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    def block(_):
+        return {
+            "W_cur": ns(None, "tp"), "W_prev": ns(None, "tp"),
+            "W_aux": ns(None, "tp"), "b_gate": ns("tp"),
+            "W_skip": ns("tp", None), "b_skip": ns(),
+            "W_res": ns("tp", None), "b_res": ns(),
+        }
+
+    return {
+        "embed_prev": ns(None, "tp"), "embed_cur": ns(None, "tp"),
+        "b_causal": ns("tp"), "up_w": ns(), "up_b": ns(),
+        "fixed": [block(b) for b in params["fixed"]],
+        "adaptive": [block(b) for b in params["adaptive"]],
+        "W_post1": ns(), "b_post1": ns(),
+        "W_post2": ns(), "b_post2": ns(),
+    }
+
+
+def shard_train_state(mesh: Mesh, state: TrainState) -> TrainState:
+    """device_put a TrainState with the mesh's parameter layout.
+
+    The optimizer state mirrors the parameter tree (Adam's mu/nu), so any
+    sub-tree structurally identical to the params gets the same sharding;
+    scalars (step counts) replicate.
+    """
+    shard_tree = param_sharding_tree(mesh, state.params)
+    repl = NamedSharding(mesh, P())
+    pstruct = jax.tree_util.tree_structure(state.params)
+
+    def place(t):
+        if jax.tree_util.tree_structure(t) == pstruct:
+            return jax.tree_util.tree_map(jax.device_put, t, shard_tree)
+        if hasattr(t, "_fields"):                      # optax NamedTuples
+            return type(t)(*(place(c) for c in t))
+        if isinstance(t, (tuple, list)):
+            return type(t)(place(c) for c in t)
+        return jax.device_put(t, repl)
+
+    return TrainState(place(state.params), place(state.opt_state),
+                      jax.device_put(state.iterations, repl))
+
+
 def _loss_fn(params, cfg, batch, compute_dtype, remat, fixed_engine="xla",
              maxd_bucket=None):
     logits = forward(params, cfg, batch["x"], batch["h"], batch["d"],
@@ -116,11 +195,18 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,), static_argnums=(2,))
 
-    repl = NamedSharding(mesh, P())
-
     def sharded_step(state, batch):
         return step(state, batch)
 
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if axes.get("tp", 1) > 1:
+        # tensor-parallel layout: the caller commits the state with
+        # `shard_train_state(mesh, state)` (trainer does) and the batch
+        # with `shard_batch` (dp axis); jit respects the committed
+        # shardings and GSPMD inserts the tp collectives
+        return jax.jit(sharded_step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
     return jax.jit(
         sharded_step,
         donate_argnums=(0,),

@@ -180,6 +180,14 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
                          pretrain)
         opt_state = tx.init(params)
     state = TrainState(params, opt_state, jnp.int32(iterations))
+    if mesh is not None and dict(zip(mesh.axis_names,
+                                     mesh.devices.shape)).get("tp", 1) > 1:
+        # tensor-parallel layout: commit params/optimizer shards up front
+        # so the jitted step never materializes a replicated copy
+        from qpnet_tpu.train.step import shard_train_state
+        state = shard_train_state(mesh, state)
+        logging.info("tensor parallel: channel dims sharded over tp=%d",
+                     dict(zip(mesh.axis_names, mesh.devices.shape))["tp"])
 
     scaler = load_scaler(stats_path, feature_type)
     generator = background(2)(train_window_generator)(

@@ -288,3 +288,69 @@ def test_preemption_guard_signal_path():
     finally:
         g.uninstall()
     assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def test_tensor_parallel_step_matches_single_device():
+    """A (dp=2, tp=4) mesh step — channel dims tensor-sharded
+    megatron-style — must reproduce the single-device trajectory: GSPMD
+    partitioning changes the layout, never the math."""
+    from qpnet_tpu.parallel import make_mesh, shard_batch
+    from qpnet_tpu.train.step import param_sharding_tree, shard_train_state
+
+    cfg = tiny_cfg()                              # n_resch=16: tp=4 divides
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(lr=5e-3)
+    batch_np = synth_batch(cfg, 2, 200)
+
+    step1 = make_train_step(cfg, tx, remat=False)
+    s1 = TrainState(clone(params), tx.init(clone(params)), jnp.int32(0))
+    b1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    losses1 = []
+    for _ in range(4):
+        s1, l = step1(s1, b1)
+        losses1.append(float(l))
+
+    mesh = make_mesh(8, tp=4)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "dp": 2, "tp": 4}
+    stepN = make_train_step(cfg, tx, mesh=mesh, remat=False)
+    sN = shard_train_state(
+        mesh, TrainState(clone(params), tx.init(clone(params)),
+                         jnp.int32(0)))
+    # the gate weights really are tensor-sharded (not replicated)
+    shard_shape = sN.params["fixed"][0]["W_cur"].sharding.shard_shape(
+        sN.params["fixed"][0]["W_cur"].shape)
+    assert shard_shape[1] == 2 * cfg.n_resch // 4
+    bN = shard_batch(mesh, {k: v for k, v in batch_np.items()
+                            if np.ndim(v) > 0})
+    bN["valid_len"] = jnp.asarray(batch_np["valid_len"])
+    lossesN = []
+    for _ in range(4):
+        sN, l = stepN(sN, bN)
+        lossesN.append(float(l))
+
+    np.testing.assert_allclose(lossesN, losses1, rtol=2e-5)
+    flat1 = jax.tree_util.tree_leaves(s1.params)
+    flatN = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, sN.params))
+    for a, b in zip(flat1, flatN):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-4, atol=1e-6)
+
+
+def test_tp_rejects_indivisible_channels():
+    from qpnet_tpu.parallel import make_mesh
+    from qpnet_tpu.train.step import param_sharding_tree
+
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(8, tp=8)                     # 16 % 8 == 0: fine
+    param_sharding_tree(mesh, params)
+    import pytest
+    from qpnet_tpu.config import ModelConfig
+    cfg12 = ModelConfig(n_quantize=32, n_aux=4, n_resch=12, n_skipch=8,
+                        dilationF_depth=2, dilationF_repeat=1,
+                        dilationA_depth=2, dilationA_repeat=1,
+                        upsampling_factor=10)
+    params12 = init_params(jax.random.PRNGKey(0), cfg12)
+    with pytest.raises(ValueError, match="must divide"):
+        param_sharding_tree(mesh, params12)
