@@ -57,6 +57,10 @@ def get_arguments(argv=None):
                              "dims shard over a (dp=n_devices/tp, tp) "
                              "mesh (tp must divide n_devices and "
                              "n_resch)")
+    parser.add_argument("--sp", default=1, type=int,
+                        help="sequence-parallel group size: the training "
+                             "window's time axis shards over an sp mesh "
+                             "axis (tp*sp must divide n_devices)")
     parser.add_argument("--coordinator", default=None, type=str,
                         help="multi-host: coordinator address host:port "
                              "(or env QPNET_COORDINATOR)")
@@ -147,16 +151,17 @@ def main(argv=None):
     pretrain = (args.pretrain if args.pretrain and args.pretrain != "None"
                 else None)
     mesh = None
+    model_par = args.tp * args.sp
     if multihost:
         # the dp mesh spans every device of every host
         from qpnet_tpu.parallel import make_mesh
-        mesh = make_mesh(tp=args.tp)
-    elif args.n_devices > 1 or args.tp > 1:
+        mesh = make_mesh(tp=args.tp, sp=args.sp)
+    elif args.n_devices > 1 or model_par > 1:
         from qpnet_tpu.parallel import make_mesh
-        mesh = make_mesh(max(args.n_devices, args.tp), tp=args.tp)
-        assert args.batch_size % (max(args.n_devices, args.tp)
-                                  // args.tp) == 0, \
-            "batch_size must be divisible by the dp axis (n_devices/tp)"
+        n_dev = max(args.n_devices, model_par)
+        mesh = make_mesh(n_dev, tp=args.tp, sp=args.sp)
+        assert args.batch_size % (n_dev // model_par) == 0, \
+            "batch_size must be divisible by the dp axis (n_devices/(tp*sp))"
     run_training(cfg, tcfg, wav_list, feat_list, args.stats, args.expdir,
                  feature_type=args.feature_type, resume=resume,
                  pretrain=pretrain, mesh=mesh)

@@ -27,13 +27,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None,
               axes: Sequence[str] = ("dp",),
               shape: Optional[Sequence[int]] = None,
-              tp: int = 1) -> Mesh:
+              tp: int = 1, sp: int = 1) -> Mesh:
     """Build a mesh over the first `n_devices` (default: all).
 
-    `tp > 1` builds a ("dp", "tp") mesh of shape (n/tp, tp): batches
-    shard over dp, model channel dims over tp (train/step.py::
-    param_sharding_tree).  tp devices should be ICI-adjacent — the tp
-    collectives are per-layer, dp's gradient all-reduce is per-step.
+    `tp > 1` adds a "tp" axis: batches shard over dp, model channel dims
+    over tp (train/step.py::param_sharding_tree).  `sp > 1` adds an "sp"
+    axis: the training window's time dimension shards over sp
+    (shard_batch), with GSPMD inserting the halo exchanges for the
+    shifted convolutions and the pitch gather.  tp/sp devices should be
+    ICI-adjacent — their collectives are per-layer, dp's gradient
+    all-reduce is per-step.
     """
     devs = jax.devices()
     if n_devices is not None:
@@ -43,11 +46,14 @@ def make_mesh(n_devices: Optional[int] = None,
                 f"{len(devs)} available ({devs[0].platform}); a silently "
                 f"truncated mesh would hide wrong sharding")
         devs = devs[:n_devices]
-    if tp > 1:
-        if len(devs) % tp:
-            raise ValueError(f"make_mesh: tp={tp} must divide the "
-                             f"{len(devs)}-device mesh")
-        axes, shape = ("dp", "tp"), (len(devs) // tp, tp)
+    if tp > 1 or sp > 1:
+        if len(devs) % (tp * sp):
+            raise ValueError(f"make_mesh: tp={tp} x sp={sp} must divide "
+                             f"the {len(devs)}-device mesh")
+        extra = [(name, size) for name, size in (("tp", tp), ("sp", sp))
+                 if size > 1]
+        axes = ("dp",) + tuple(name for name, _ in extra)
+        shape = (len(devs) // (tp * sp),) + tuple(s for _, s in extra)
     if shape is None:
         shape = (len(devs),) + (1,) * (len(axes) - 1)
     arr = np.asarray(devs).reshape(shape)
@@ -55,7 +61,12 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def batch_sharding(mesh: Mesh, ndim: int, axis: str = "dp") -> NamedSharding:
-    """Shard the leading (batch) dimension over `axis`, replicate the rest."""
+    """Shard the leading (batch) dimension over `axis`; when the mesh has
+    an "sp" axis, additionally shard the second (time/frame) dimension
+    over it (sequence parallelism — activations split along time, GSPMD
+    exchanges the convolution/gather halos).  Remaining dims replicate."""
+    if "sp" in mesh.axis_names and ndim >= 2:
+        return NamedSharding(mesh, P(axis, "sp", *([None] * (ndim - 2))))
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 

@@ -354,3 +354,44 @@ def test_tp_rejects_indivisible_channels():
     params12 = init_params(jax.random.PRNGKey(0), cfg12)
     with pytest.raises(ValueError, match="must divide"):
         param_sharding_tree(mesh, params12)
+
+
+def test_sequence_parallel_step_matches_single_device():
+    """(dp=2, sp=4) — the training window's time axis sharded over sp —
+    and the full 3-axis (dp=2, tp=2, sp=2) mesh must both reproduce the
+    single-device trajectory."""
+    from qpnet_tpu.parallel import make_mesh, shard_batch
+    from qpnet_tpu.train.step import shard_train_state
+
+    cfg = tiny_cfg()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(lr=5e-3)
+    batch_np = synth_batch(cfg, 2, 200)
+
+    step1 = make_train_step(cfg, tx, remat=False)
+    s1 = TrainState(clone(params), tx.init(clone(params)), jnp.int32(0))
+    b1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    losses1 = []
+    for _ in range(3):
+        s1, l = step1(s1, b1)
+        losses1.append(float(l))
+
+    for kw in ({"sp": 4}, {"tp": 2, "sp": 2}):
+        mesh = make_mesh(8, **kw)
+        stepN = make_train_step(cfg, tx, mesh=mesh, remat=False)
+        sN = TrainState(clone(params), tx.init(clone(params)),
+                        jnp.int32(0))
+        if kw.get("tp", 1) > 1:
+            sN = shard_train_state(mesh, sN)
+        bN = shard_batch(mesh, {k: v for k, v in batch_np.items()
+                                if np.ndim(v) > 0})
+        # time axis really is sp-sharded
+        assert bN["x"].sharding.shard_shape(bN["x"].shape)[1] \
+            == 200 // kw["sp"]
+        bN["valid_len"] = jnp.asarray(batch_np["valid_len"])
+        lossesN = []
+        for _ in range(3):
+            sN, l = stepN(sN, bN)
+            lossesN.append(float(l))
+        np.testing.assert_allclose(lossesN, losses1, rtol=2e-5,
+                                   err_msg=str(kw))
