@@ -9,10 +9,15 @@ inserts the gradient all-reduce over ICI — no NCCL/MPI translation.
 
 Axes:
   dp — data parallel (batch windows in training, utterances in decode)
+  tp — tensor parallel (model channel dims; train/step.py::
+       param_sharding_tree) — make_mesh(tp=N)
+  sp — sequence parallel (the training window's time axis; batch_sharding
+       adds it automatically) — make_mesh(sp=N)
 
-The model is ~24M params; tensor/pipeline axes are unnecessary for parity
-(SURVEY.md §2.3) but the helpers below accept extra axes so larger variants
-can shard without code changes.
+The model is ~24M params, so dp alone is the production layout
+(SURVEY.md §2.3); tp/sp are the validated scale-out paths for wider or
+longer variants.  Pipeline/expert axes stay out of scope by design: no
+microbatch pipeline pays off at 16 blocks, and there are no experts.
 """
 
 from __future__ import annotations
