@@ -376,6 +376,11 @@ class StreamingService:
 #                     On a rejected request the server sends the
 #                     sentinel u32 0xFFFFFFFF followed by one JSON line
 #                     {"error": ...} instead of any chunk.
+#   health/stats:     a header of {"stats": true} (no payload) gets one
+#                     JSON line back — {"ok": true, "pending": N,
+#                     "devices": D, ...service counters} — and the
+#                     connection closes.  This is the load-balancer
+#                     health probe and the capacity-dashboard feed.
 
 
 _ERR_SENTINEL = 0xFFFFFFFF
@@ -405,6 +410,15 @@ class _Handler(socketserver.StreamRequestHandler):
         cfg = svc.cfg
         try:
             header = json.loads(self.rfile.readline())
+            if header.get("stats"):
+                with svc._cv:
+                    body = {"ok": not svc._closed,
+                            "pending": len(svc._pending),
+                            "devices": len(svc._devices),
+                            "max_streams": svc.max_streams,
+                            **svc.stats}
+                self.wfile.write((json.dumps(body) + "\n").encode())
+                return
             F = int(header["frames"])
             if not 0 < F <= _MAX_WIRE_FRAMES:
                 raise ValueError(f"frames must be in (0, "
@@ -463,6 +477,18 @@ def serve_tcp(service: StreamingService, host: str = "127.0.0.1",
     srv = StreamServer(service, host, port)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv
+
+
+def request_stats(address) -> dict:
+    """Client helper: the {"stats": true} health probe — returns the
+    server's JSON status ({"ok", "pending", "devices", ...counters})."""
+    with socket.create_connection(address) as s:
+        s.sendall(json.dumps({"stats": True}).encode() + b"\n")
+        rfile = s.makefile("rb")
+        line = rfile.readline()
+    if not line.endswith(b"\n"):
+        raise ConnectionError("server closed mid-stats")
+    return json.loads(line)
 
 
 def request_stream(address, h: np.ndarray, d: Optional[np.ndarray] = None):

@@ -560,3 +560,35 @@ def test_tcp_postfilter_applies_noise_restoration(model):
     finally:
         srv.shutdown()
         svc.close()
+
+
+def test_stats_health_probe(model):
+    """A {"stats": true} header returns one JSON status line (the
+    load-balancer health probe) with live service counters, without
+    touching the kernel."""
+    from qpnet_tpu.serve import request_stats
+
+    cfg, params = model
+    svc = make_service(cfg, params, gather_window_s=0.05)
+    srv = serve_tcp(svc, port=0)
+    try:
+        st = request_stats(srv.server_address)
+        assert st["ok"] is True
+        assert st["pending"] == 0 and st["devices"] == 1
+        assert st["streams_done"] == 0
+
+        rng = np.random.default_rng(5)
+        F = 8
+        h = rng.normal(size=(F, cfg.n_aux)).astype(np.float32)
+        svc.submit(h, np.full(F, 2.5, np.float32)).samples()
+        st = request_stats(srv.server_address)
+        assert st["streams_done"] == 1 and st["groups"] == 1
+    finally:
+        srv.shutdown()
+        svc.close()
+    # a closed service reports not-ok through a still-running front end
+    srv2 = serve_tcp(svc, port=0)
+    try:
+        assert request_stats(srv2.server_address)["ok"] is False
+    finally:
+        srv2.shutdown()
