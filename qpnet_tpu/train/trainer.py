@@ -47,8 +47,10 @@ class PreemptionGuard:
     process — a deterministic fault-injection knob (tests use it to pin
     the save-and-exit path without racing a real signal).
 
-    Multi-host note: the eviction signal reaches every process on a
-    preempted slice, so the orbax collective save sees all hosts; with
+    Multi-host note: signal delivery can skew across a step boundary, so
+    the trainer allgathers the trip flag every iteration — one host's
+    signal stops EVERY host at the same iteration (a lone early exit
+    would deadlock the collective batch assembly / orbax save).  With
     the pickle backend only the lead writes, as at interval checkpoints.
     """
 
@@ -275,7 +277,17 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
                     logging.info("%d-iter checkpoint created.", i + 1)
             if logged:
                 interval_start = time.time()
-            if guard.tripped_after_step() and (i + 1) < tcfg.iters:
+            tripped = guard.tripped_after_step()
+            if n_proc > 1:
+                # signal delivery can skew across a step boundary; an
+                # unsynchronized exit deadlocks the others (global batch
+                # assembly and orbax saves are collective), so hosts
+                # agree every step: any host tripped -> all save+exit at
+                # the SAME iteration
+                from jax.experimental import multihost_utils
+                tripped = bool(np.max(multihost_utils.process_allgather(
+                    np.int32(tripped))))
+            if tripped and (i + 1) < tcfg.iters:
                 # eviction notice: persist progress and exit cleanly —
                 # `--resume auto` on the replacement job picks up here
                 if not saved_here and (is_lead or save_collective):

@@ -93,3 +93,74 @@ def test_two_process_dcn_training(tmp_path):
         assert len(vals) == 3, out[-2000:]
         losses.append([float(v) for v in vals])
     assert losses[0] == losses[1]
+
+
+PREEMPT_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    if {preempt_after}:
+        os.environ["QPNET_PREEMPT_AFTER"] = str({preempt_after})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    from qpnet_tpu.bin import qpnet_train
+    qpnet_train.main([
+        "--waveforms", {wav_scp!r}, "--feats", {feat_scp!r},
+        "--stats", {stats!r}, "--expdir", {expdir!r},
+        "--config", {config!r},
+        "--n_quantize", "32", "--n_aux", "4", "--n_resch", "16",
+        "--n_skipch", "8", "--dilationF_depth", "3",
+        "--dilationF_repeat", "1", "--dilationA_depth", "2",
+        "--dilationA_repeat", "1", "--upsampling_factor", "10",
+        "--batch_length", "300", "--batch_size", "4",
+        "--max_length", "700", "--iters", "50",
+        "--checkpoint_interval", "100", "--intervals", "1",
+        "--coordinator", {coord!r}, "--n_hosts", "2",
+        "--host_id", {hid!r},
+    ])
+""")
+
+
+@pytest.mark.slow
+def test_preemption_syncs_across_hosts(tmp_path):
+    """A preemption signal on ONE host must stop BOTH hosts at the same
+    iteration (the per-step trip-flag allgather): a lone early exit would
+    deadlock the survivor inside the collective batch assembly."""
+    wavs, feats = make_synthetic_corpus(str(tmp_path), n_utts=4, fs=1000,
+                                        up=10, n_aux=4)
+    wav_scp = str(tmp_path / "wav.scp")
+    feat_scp = str(tmp_path / "feat.scp")
+    with open(wav_scp, "w") as f:
+        f.write("\n".join(wavs) + "\n")
+    with open(feat_scp, "w") as f:
+        f.write("\n".join(feats) + "\n")
+    from qpnet_tpu.data.stats import calc_stats
+    stats = str(tmp_path / "stats.h5")
+    calc_stats(feats, stats)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        coord = f"127.0.0.1:{s.getsockname()[1]}"
+    expdir = str(tmp_path / "exp")
+
+    procs = []
+    for hid in range(2):
+        code = PREEMPT_WORKER.format(
+            repo=REPO, wav_scp=wav_scp, feat_scp=feat_scp, stats=stats,
+            expdir=expdir, config=str(tmp_path / f"model{hid}.conf"),
+            coord=coord, hid=str(hid),
+            preempt_after=3 if hid == 0 else 0)   # only host 0 is "evicted"
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                            "QPNET_PREEMPT_AFTER")}
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for hid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {hid} failed:\n{out[-4000:]}"
+    # both stopped at iteration 3 (host 0's trip, synced), well short of 50
+    assert os.path.exists(os.path.join(expdir, "checkpoint-3.pkl"))
+    assert not os.path.exists(os.path.join(expdir, "checkpoint-final.pkl"))
+    assert "preemption" in outs[0]
