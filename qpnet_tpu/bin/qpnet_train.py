@@ -60,7 +60,16 @@ def get_arguments(argv=None):
     parser.add_argument("--sp", default=1, type=int,
                         help="sequence-parallel group size: the training "
                              "window's time axis shards over an sp mesh "
-                             "axis (tp*sp must divide n_devices)")
+                             "axis (tp*sp*pp must divide n_devices)")
+    parser.add_argument("--pp", default=1, type=int,
+                        help="pipeline-parallel group size: the residual "
+                             "stack splits into pp GPipe stages (pp must "
+                             "divide the block count; composes with dp "
+                             "only)")
+    parser.add_argument("--pp_microbatches", default=0, type=int,
+                        help="GPipe microbatch count per dp shard "
+                             "(0 = pp size); must divide the per-shard "
+                             "batch")
     parser.add_argument("--coordinator", default=None, type=str,
                         help="multi-host: coordinator address host:port "
                              "(or env QPNET_COORDINATOR)")
@@ -151,20 +160,22 @@ def main(argv=None):
     pretrain = (args.pretrain if args.pretrain and args.pretrain != "None"
                 else None)
     mesh = None
-    model_par = args.tp * args.sp
+    model_par = args.tp * args.sp * args.pp
     if multihost:
         # the dp mesh spans every device of every host
         from qpnet_tpu.parallel import make_mesh
-        mesh = make_mesh(tp=args.tp, sp=args.sp)
+        mesh = make_mesh(tp=args.tp, sp=args.sp, pp=args.pp)
     elif args.n_devices > 1 or model_par > 1:
         from qpnet_tpu.parallel import make_mesh
         n_dev = max(args.n_devices, model_par)
-        mesh = make_mesh(n_dev, tp=args.tp, sp=args.sp)
+        mesh = make_mesh(n_dev, tp=args.tp, sp=args.sp, pp=args.pp)
         assert args.batch_size % (n_dev // model_par) == 0, \
-            "batch_size must be divisible by the dp axis (n_devices/(tp*sp))"
+            "batch_size must be divisible by the dp axis " \
+            "(n_devices/(tp*sp*pp))"
     run_training(cfg, tcfg, wav_list, feat_list, args.stats, args.expdir,
                  feature_type=args.feature_type, resume=resume,
-                 pretrain=pretrain, mesh=mesh)
+                 pretrain=pretrain, mesh=mesh,
+                 n_microbatches=args.pp_microbatches or None)
 
 
 if __name__ == "__main__":

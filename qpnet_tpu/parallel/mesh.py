@@ -13,11 +13,13 @@ Axes:
        param_sharding_tree) — make_mesh(tp=N)
   sp — sequence parallel (the training window's time axis; batch_sharding
        adds it automatically) — make_mesh(sp=N)
+  pp — pipeline parallel (the 16-block residual stack in GPipe
+       microbatch stages; train/pipeline.py) — make_mesh(pp=N)
 
 The model is ~24M params, so dp alone is the production layout
-(SURVEY.md §2.3); tp/sp are the validated scale-out paths for wider or
-longer variants.  Pipeline/expert axes stay out of scope by design: no
-microbatch pipeline pays off at 16 blocks, and there are no experts.
+(SURVEY.md §2.3); tp/sp/pp are the validated scale-out paths for wider,
+longer, or deeper variants.  An expert axis stays out of scope by
+design: there are no experts in this model family.
 """
 
 from __future__ import annotations
@@ -32,16 +34,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None,
               axes: Sequence[str] = ("dp",),
               shape: Optional[Sequence[int]] = None,
-              tp: int = 1, sp: int = 1) -> Mesh:
+              tp: int = 1, sp: int = 1, pp: int = 1) -> Mesh:
     """Build a mesh over the first `n_devices` (default: all).
 
     `tp > 1` adds a "tp" axis: batches shard over dp, model channel dims
     over tp (train/step.py::param_sharding_tree).  `sp > 1` adds an "sp"
     axis: the training window's time dimension shards over sp
     (shard_batch), with GSPMD inserting the halo exchanges for the
-    shifted convolutions and the pitch gather.  tp/sp devices should be
-    ICI-adjacent — their collectives are per-layer, dp's gradient
-    all-reduce is per-step.
+    shifted convolutions and the pitch gather.  `pp > 1` adds a "pp"
+    axis: the residual stack splits into GPipe stages with the
+    activation carry ppermuted stage-to-stage (train/pipeline.py).
+    tp/sp/pp devices should be ICI-adjacent — their collectives are
+    per-layer/per-tick, dp's gradient all-reduce is per-step.
     """
     devs = jax.devices()
     if n_devices is not None:
@@ -51,14 +55,15 @@ def make_mesh(n_devices: Optional[int] = None,
                 f"{len(devs)} available ({devs[0].platform}); a silently "
                 f"truncated mesh would hide wrong sharding")
         devs = devs[:n_devices]
-    if tp > 1 or sp > 1:
-        if len(devs) % (tp * sp):
-            raise ValueError(f"make_mesh: tp={tp} x sp={sp} must divide "
-                             f"the {len(devs)}-device mesh")
-        extra = [(name, size) for name, size in (("tp", tp), ("sp", sp))
+    if tp > 1 or sp > 1 or pp > 1:
+        if len(devs) % (tp * sp * pp):
+            raise ValueError(f"make_mesh: tp={tp} x sp={sp} x pp={pp} must "
+                             f"divide the {len(devs)}-device mesh")
+        extra = [(name, size)
+                 for name, size in (("tp", tp), ("sp", sp), ("pp", pp))
                  if size > 1]
         axes = ("dp",) + tuple(name for name, _ in extra)
-        shape = (len(devs) // (tp * sp),) + tuple(s for _, s in extra)
+        shape = (len(devs) // (tp * sp * pp),) + tuple(s for _, s in extra)
     if shape is None:
         shape = (len(devs),) + (1,) * (len(axes) - 1)
     arr = np.asarray(devs).reshape(shape)

@@ -162,12 +162,15 @@ def resolve_fixed_engine(fixed_engine: str, cfg: ModelConfig, B: int,
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
                     compute_dtype=jnp.float32, remat: bool = True,
-                    fixed_engine: str = "auto"):
+                    fixed_engine: str = "auto",
+                    n_microbatches: Optional[int] = None):
     """Returns step(state, batch) -> (state, loss).
 
     batch: {"x": (B,T) i32, "h": (B,F,A) f32, "t": (B,T) i32,
             "d": (B,T) f32, "valid_len": scalar i32}
     fixed_engine: "auto" | "pallas" | "xla" — see resolve_fixed_engine.
+    n_microbatches: GPipe microbatch count when the mesh has a pp axis
+        (train/pipeline.py); default = pp size.
     """
 
     # under a mesh the jitted step is GSPMD-partitioned; the fused
@@ -176,6 +179,19 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
     # kernel; revisit with shard_map if multi-chip training ever needs it)
     if mesh is not None and fixed_engine == "auto":
         fixed_engine = "xla"
+    pp = 1
+    if mesh is not None:
+        pp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("pp", 1)
+
+    def loss_fn(params, batch, engine, maxd_bucket):
+        if pp > 1:
+            from qpnet_tpu.train.pipeline import pipeline_forward
+            logits = pipeline_forward(
+                params, cfg, batch["x"], batch["h"], batch["d"], mesh,
+                n_microbatches, compute_dtype, remat=remat)
+            return masked_ce_loss(logits, batch["t"], batch["valid_len"])
+        return _loss_fn(params, cfg, batch, compute_dtype, remat, engine,
+                        maxd_bucket)
 
     def step(state: TrainState, batch, maxd_bucket=None
              ) -> tuple[TrainState, jnp.ndarray]:
@@ -185,8 +201,8 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation,
         engine = resolve_fixed_engine(fixed_engine, cfg,
                                       batch["x"].shape[0],
                                       batch["x"].shape[1], compute_dtype)
-        loss, grads = jax.value_and_grad(_loss_fn)(
-            state.params, cfg, batch, compute_dtype, remat, engine,
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, engine,
             maxd_bucket if engine == "pallas" else None)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

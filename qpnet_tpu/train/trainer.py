@@ -94,7 +94,7 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
                  feature_type: str = "world",
                  resume: Optional[str] = None,
                  pretrain: Optional[str] = None,
-                 mesh=None) -> None:
+                 mesh=None, n_microbatches: Optional[int] = None) -> None:
     os.makedirs(expdir, exist_ok=True)
     n_proc = jax.process_count()
     is_lead = jax.process_index() == 0
@@ -140,7 +140,14 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
     step_fn = make_train_step(cfg, tx, mesh=mesh, remat=remat,
                               compute_dtype=compute_dtype,
                               fixed_engine=getattr(tcfg, "fixed_engine",
-                                                   "auto"))
+                                                   "auto"),
+                              n_microbatches=n_microbatches)
+    if mesh is not None and dict(zip(mesh.axis_names,
+                                     mesh.devices.shape)).get("pp", 1) > 1:
+        logging.info(
+            "pipeline parallel: %d-block stack over pp=%d GPipe stages",
+            len(cfg.dilationsF) + len(cfg.dilationsA),
+            dict(zip(mesh.axis_names, mesh.devices.shape))["pp"])
 
     iterations = 0
     loss_record = []
