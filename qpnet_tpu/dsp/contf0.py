@@ -46,6 +46,15 @@ def smoothed_continuous_f0(f0: np.ndarray, shiftms: float,
     smoothed = low_pass_filter(cont_f0, frame_rate, cutoff=cutoff)
     widened = 70
     while not (smoothed > 0).all():
+        if widened >= frame_rate / 2:
+            # the widening escalation has reached Nyquist, where the
+            # filter tends to identity — and the unfiltered continuous
+            # track is strictly positive by construction, so use it
+            # rather than crash firwin on a super-Nyquist cutoff
+            logging.warning("cont-F0 smoothing stayed non-positive up to "
+                            "Nyquist; using the unsmoothed track")
+            smoothed = cont_f0
+            break
         logging.info("cont-F0 smoothing went non-positive; widening the "
                      "low-pass cutoff to %d Hz", widened)
         smoothed = low_pass_filter(cont_f0, frame_rate, cutoff=widened)

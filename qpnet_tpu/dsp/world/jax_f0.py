@@ -463,7 +463,11 @@ def _fix_contour_scan(f0: jnp.ndarray, cands: jnp.ndarray,
 
     _, rev = jax.lax.scan(bwd, init,
                           (step2[::-1], step3[::-1], cands_t[::-1]))
-    return rev[::-1]
+    out = rev[::-1]
+    # the host backward loop's bound for the first section is limit=1
+    # (dio.py _fix_contour step 4): frame 0 is never written, so an
+    # extension chain that survives to the start must not voice it
+    return out.at[0].set(step3[0])
 
 
 @functools.partial(jax.jit, static_argnames=(

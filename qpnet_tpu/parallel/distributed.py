@@ -75,6 +75,24 @@ def make_global_batch(mesh, tree: dict):
     }
 
 
+def global_min_and_any(value, flag) -> tuple:
+    """(cross-host min of a scalar, cross-host OR of a flag) in ONE
+    allgather (no-op single-host).
+
+    The trainer's per-step valid_len sync carries the preemption trip
+    flag for free this way — one DCN host-sync per iteration instead of
+    two (the flag is evaluated after the previous step, so a trip stops
+    every host together one step after the signal lands)."""
+    val = np.asarray(value)
+    if jax.process_count() == 1:
+        return val, bool(flag)
+    from jax.experimental import multihost_utils
+    packed = np.asarray([np.int64(value), np.int64(bool(flag))])
+    gathered = multihost_utils.process_allgather(packed)
+    return (np.asarray(gathered[..., 0].min(), val.dtype),
+            bool(gathered[..., 1].max()))
+
+
 def global_min_scalar(value) -> np.ndarray:
     """Minimum of a host-local scalar across all hosts (no-op single-host).
 

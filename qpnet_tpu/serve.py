@@ -403,13 +403,28 @@ def _read_exact(rfile, n: int, what: str = "client closed mid-message"
 # never arrive
 _MAX_WIRE_FRAMES = 2_000_000
 
+# cap on any newline-terminated JSON line on the wire (headers, stats
+# bodies, error bodies are all well under 1 KiB) — a peer that streams
+# bytes with no newline must not make readline() buffer them unboundedly
+_MAX_WIRE_LINE = 1 << 16
+
+
+def _read_json_line(rfile, what: str) -> dict:
+    """Read one bounded, newline-terminated JSON line."""
+    line = rfile.readline(_MAX_WIRE_LINE)
+    if not line.endswith(b"\n"):
+        if len(line) >= _MAX_WIRE_LINE:
+            raise ValueError(f"{what} line exceeds {_MAX_WIRE_LINE} bytes")
+        raise ConnectionError(f"connection closed mid-{what}")
+    return json.loads(line)
+
 
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):
         svc: StreamingService = self.server.service  # type: ignore[attr-defined]
         cfg = svc.cfg
         try:
-            header = json.loads(self.rfile.readline())
+            header = _read_json_line(self.rfile, "header")
             if header.get("stats"):
                 with svc._cv:
                     body = {"ok": not svc._closed,
@@ -485,10 +500,7 @@ def request_stats(address) -> dict:
     with socket.create_connection(address) as s:
         s.sendall(json.dumps({"stats": True}).encode() + b"\n")
         rfile = s.makefile("rb")
-        line = rfile.readline()
-    if not line.endswith(b"\n"):
-        raise ConnectionError("server closed mid-stats")
-    return json.loads(line)
+        return _read_json_line(rfile, "stats")
 
 
 def request_stream(address, h: np.ndarray, d: Optional[np.ndarray] = None):
@@ -512,10 +524,8 @@ def request_stream(address, h: np.ndarray, d: Optional[np.ndarray] = None):
             hdr = _read_exact(rfile, 4, "server closed mid-stream")
             n = struct.unpack("<I", hdr)[0]
             if n == _ERR_SENTINEL:
-                line = rfile.readline()
-                if not line.endswith(b"\n"):
-                    raise ConnectionError("server closed mid-error")
-                raise RuntimeError(json.loads(line)["error"])
+                raise RuntimeError(
+                    _read_json_line(rfile, "error")["error"])
             if n == 0:
                 return
             yield np.frombuffer(

@@ -154,7 +154,6 @@ def pipeline_forward(params: Params, cfg: ModelConfig,
 
         o_state = jnp.zeros((Bm, T, R), act)
         skip_state = jnp.zeros((Bm, T, Sk), jnp.float32)
-        outs_o = jnp.zeros((M, Bm, T, R), act)
         outs_skip = jnp.zeros((M, Bm, T, Sk), jnp.float32)
         for k in range(M + S - 1):
             # stage s works on microbatch m = k - s this tick (garbage
@@ -177,28 +176,27 @@ def pipeline_forward(params: Params, cfg: ModelConfig,
                 skip_cur = skip_cur + skip
             if k >= S - 1:  # last stage finishes microbatch k-(S-1)
                 mo = k - (S - 1)
-                outs_o = outs_o.at[mo].set(
-                    jnp.where(s == S - 1, o_cur, outs_o[mo]))
                 outs_skip = outs_skip.at[mo].set(
                     jnp.where(s == S - 1, skip_cur, outs_skip[mo]))
             o_state = jax.lax.ppermute(o_cur, "pp", perm)
             skip_state = jax.lax.ppermute(skip_cur, "pp", perm)
 
-        # replicate the last stage's recordings across pp
+        # replicate the last stage's recordings across pp (only the skip
+        # sum leaves the pipeline region — postprocess/loss consume it;
+        # the final residual state is not an output of the network)
         last = (s == S - 1)
-        outs_o = jax.lax.psum(jnp.where(last, outs_o, 0), "pp")
         outs_skip = jax.lax.psum(jnp.where(last, outs_skip, 0), "pp")
-        return outs_o.reshape(Bl, T, R), outs_skip.reshape(Bl, T, Sk)
+        return outs_skip.reshape(Bl, T, Sk)
 
     dp_spec = P("dp") if "dp" in axes else P(None)
-    o_fx, skip_sum = jax.shard_map(
+    skip_sum = jax.shard_map(
         pp_fn, mesh=mesh,
         in_specs=(P("pp"),                       # stacked block params
                   P(*dp_spec, None, None),       # o0
                   P(*dp_spec, None, None),       # h_up
                   P("pp", *dp_spec, None),       # r tables
                   P("pp", *dp_spec, None)),      # masks
-        out_specs=(P(*dp_spec, None, None), P(*dp_spec, None, None)),
+        out_specs=P(*dp_spec, None, None),
     )(stacked, o0, h_up, r_all, mask_all)
 
     from qpnet_tpu.models.qpnet import postprocess

@@ -48,10 +48,13 @@ class PreemptionGuard:
     the save-and-exit path without racing a real signal).
 
     Multi-host note: signal delivery can skew across a step boundary, so
-    the trainer allgathers the trip flag every iteration — one host's
-    signal stops EVERY host at the same iteration (a lone early exit
-    would deadlock the collective batch assembly / orbax save).  With
-    the pickle backend only the lead writes, as at interval checkpoints.
+    the trainer syncs the trip flag every iteration — one host's signal
+    stops EVERY host at the same iteration (a lone early exit would
+    deadlock the collective batch assembly / orbax save).  The flag
+    rides the step's existing valid_len allgather (one DCN host-sync
+    per iteration, not two), so the agreed stop lands one step after
+    the signal — inside the eviction grace window.  With the pickle
+    backend only the lead writes, as at interval checkpoints.
     """
 
     def __init__(self):
@@ -216,7 +219,7 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
     interval_start = time.time()
     logging.info("training start!")
     if mesh is not None:
-        from qpnet_tpu.parallel import global_min_scalar, make_global_batch
+        from qpnet_tpu.parallel import global_min_and_any, make_global_batch
 
     from qpnet_tpu.train.step import resolve_fixed_engine
     _engine = resolve_fixed_engine(
@@ -241,6 +244,8 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
         return int(bucket_maxd(float(np.ceil(d_np.max()))))
 
     guard = PreemptionGuard().install()
+    local_tripped = False      # trip state after the previous iteration
+    trip_synced = False        # cross-host OR of it (rides the vl gather)
     try:
         for i in range(iterations, tcfg.iters):
             batch_np = generator.next()
@@ -249,9 +254,11 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
                 batch = make_global_batch(
                     mesh,
                     {k: v for k, v in batch_np.items() if np.ndim(v) > 0})
-                # every host must mask the same loss positions
-                batch["valid_len"] = jnp.asarray(
-                    global_min_scalar(batch_np["valid_len"]))
+                # every host must mask the same loss positions; the ONE
+                # per-step host sync also carries the preemption flag
+                vl, trip_synced = global_min_and_any(
+                    batch_np["valid_len"], local_tripped)
+                batch["valid_len"] = jnp.asarray(vl)
                 state, loss = step_fn(state, batch)
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
@@ -284,16 +291,21 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
                     logging.info("%d-iter checkpoint created.", i + 1)
             if logged:
                 interval_start = time.time()
-            tripped = guard.tripped_after_step()
+            local_tripped = guard.tripped_after_step()
             if n_proc > 1:
                 # signal delivery can skew across a step boundary; an
                 # unsynchronized exit deadlocks the others (global batch
                 # assembly and orbax saves are collective), so hosts
                 # agree every step: any host tripped -> all save+exit at
-                # the SAME iteration
-                from jax.experimental import multihost_utils
-                tripped = bool(np.max(multihost_utils.process_allgather(
-                    np.int32(tripped))))
+                # the SAME iteration.  The agreement piggybacks on the
+                # next step's valid_len allgather (global_min_and_any):
+                # one host sync per step, trip acted on one step after
+                # the signal lands — still inside the eviction grace
+                # window.  (Multi-host without a mesh has no per-step
+                # collectives to deadlock, so the local flag suffices.)
+                tripped = trip_synced if mesh is not None else local_tripped
+            else:
+                tripped = local_tripped
             if tripped and (i + 1) < tcfg.iters:
                 # eviction notice: persist progress and exit cleanly —
                 # `--resume auto` on the replacement job picks up here

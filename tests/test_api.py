@@ -214,6 +214,33 @@ def test_analyze_matches_feature_extract(tmp_path):
     assert np.isfinite(out).all() and np.abs(out).max() <= 1.0
 
 
+def test_analyze_integer_pcm_and_empty_input():
+    """Integer PCM is int16-scale by dtype (never rescaled, even when
+    quiet enough for the float peak heuristic to fire); empty waveforms
+    are rejected with a clear error instead of a numpy reduction crash."""
+    cfg = ModelConfig(n_quantize=32, n_aux=28, n_resch=16, n_skipch=8,
+                      dilationF_depth=2, dilationF_repeat=1,
+                      dilationA_depth=2, dilationA_repeat=1,
+                      upsampling_factor=80)
+    fs = 16000
+    voc = Vocoder(None, cfg, None, fs=fs)
+    t = np.arange(fs) / fs
+    q = np.round(0.3 * np.sin(2 * np.pi * 150 * t) * 32768.0
+                 ).astype(np.int16)
+    fi = voc.analyze(q, dsp_backend="numpy")
+    fa = voc.analyze(q.astype(np.float64) / 32768.0, dsp_backend="numpy")
+    np.testing.assert_allclose(fi, fa, atol=1e-6)
+    # quiet int16 PCM (peak <= 1.0): dtype wins over the peak heuristic
+    quiet = np.zeros(fs, np.int16)
+    quiet[::80] = 1
+    fq = voc.analyze(quiet, dsp_backend="numpy")
+    fq_scaled = voc.analyze(quiet.astype(np.float64),  # float path rescales
+                            dsp_backend="numpy")
+    assert not np.allclose(fq[:, 2], fq_scaled[:, 2], atol=1e-3)
+    with pytest.raises(ValueError, match="empty waveform"):
+        voc.analyze(np.zeros(0, np.float32))
+
+
 def test_analyze_rejects_wrong_geometry():
     cfg = ModelConfig(n_quantize=32, n_aux=4, n_resch=8, n_skipch=8,
                       dilationF_depth=1, dilationF_repeat=1,

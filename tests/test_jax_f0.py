@@ -235,6 +235,26 @@ def test_fix_contour_scan_matches_host_oracle():
         assert agree.mean() > 0.99, (trial, np.nonzero(~agree)[0][:10])
 
 
+def test_fix_contour_scan_never_voices_frame_zero():
+    """The host backward extension's first-section bound is limit=1
+    (dio.py step 4): frame 0 is never written. A backward chain that
+    survives to the start must leave frame 0 unvoiced in the scan too."""
+    from qpnet_tpu.dsp.world.dio import _fix_contour
+    from qpnet_tpu.dsp.world.jax_f0 import _fix_contour_scan
+
+    F, C = 30, 4
+    f0 = np.zeros(F)
+    f0[5:21] = 150.0
+    cands = np.full((C, F), 150.0)
+    host = _fix_contour(f0, cands, 5.0, 0.1, f0_floor=90.0)
+    dev = np.asarray(_fix_contour_scan(
+        jnp_asarray(f0), jnp_asarray(cands), 5.0, 0.1, 90.0))
+    assert host[0] == 0.0
+    assert dev[0] == 0.0
+    # and the surviving chain itself still matches the host walk
+    assert np.allclose(host, dev, rtol=2e-3, atol=1e-2)
+
+
 def jnp_asarray(a):
     import jax.numpy as jnp
     return jnp.asarray(np.asarray(a, np.float32))

@@ -160,7 +160,9 @@ def test_preemption_syncs_across_hosts(tmp_path):
     outs = [p.communicate(timeout=600)[0] for p in procs]
     for hid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"host {hid} failed:\n{out[-4000:]}"
-    # both stopped at iteration 3 (host 0's trip, synced), well short of 50
-    assert os.path.exists(os.path.join(expdir, "checkpoint-3.pkl"))
+    # both stopped at iteration 4 (host 0 trips after step 3; the flag
+    # rides step 4's valid_len allgather, so every host exits together
+    # after step 4), well short of 50
+    assert os.path.exists(os.path.join(expdir, "checkpoint-4.pkl"))
     assert not os.path.exists(os.path.join(expdir, "checkpoint-final.pkl"))
     assert "preemption" in outs[0]

@@ -140,6 +140,15 @@ def test_request_stream_helper_and_error_sentinel(model):
                 sentinel = _struct.unpack("<I", rf.read(4))[0]
                 assert sentinel == 0xFFFFFFFF
                 assert b"frames" in rf.readline()
+        # a header with no newline must be rejected at the line cap, not
+        # buffered unboundedly in the handler's readline()
+        from qpnet_tpu.serve import _MAX_WIRE_LINE
+        with _socket.create_connection(srv.server_address) as s:
+            s.sendall(b"x" * (_MAX_WIRE_LINE + 4096))
+            rf = s.makefile("rb")
+            sentinel = _struct.unpack("<I", rf.read(4))[0]
+            assert sentinel == 0xFFFFFFFF
+            assert b"exceeds" in rf.readline()
     finally:
         srv.shutdown()
         svc.close()
