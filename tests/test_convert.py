@@ -1,6 +1,12 @@
-"""Checkpoint conversion parity: a random reference-layout state_dict is
-converted, and our forward must match a pure-numpy oracle implementing the
-reference's exact valid-convolution math (reference qpnet.py:239-312)."""
+"""Checkpoint conversion parity against a pure-numpy oracle of the
+reference's valid-convolution math (reference qpnet.py:239-312).
+
+This is the FAST check; the authoritative parity suite is
+tests/test_torch_oracle.py, which executes the reference's actual PyTorch
+code (forward logits, AR argmax trajectories incl. F0-scaled-d and
+batch-shrink, per-step logits, end-to-end waveform) against the same
+converter.  The numpy oracle remains useful because it runs without torch
+and pins the math in a form readable next to the JAX implementation."""
 
 import numpy as np
 import pytest
