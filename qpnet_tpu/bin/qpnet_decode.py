@@ -70,6 +70,13 @@ def get_arguments(argv=None):
     parser.add_argument("--f0_dim_index", default=1, type=int)
     parser.add_argument("--mode", default="sampling",
                         choices=["sampling", "argmax"])
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="compute precision of the XLA scan engine "
+                             "(the pallas engine is bf16 by construction); "
+                             "float32 reproduces the torch reference's "
+                             "trajectories exactly — use it for parity "
+                             "evals, bfloat16 for production throughput")
     return parser.parse_args(argv)
 
 
@@ -177,6 +184,7 @@ def main(argv=None):
         samples_list = batch_fast_generate(
             params, cfg, x, h, n_samples, d,
             seed=args.seed, mode=args.mode, engine=args.engine,
+            compute_dtype=jnp.dtype(args.dtype).type,
             quantize=args.quantize, mesh=mesh)
         for feat_id, samples in zip(feat_ids, samples_list):
             wav = decode_mu_law(samples, cfg.n_quantize)
