@@ -135,18 +135,24 @@ class Vocoder:
         from qpnet_tpu.dsp.world import WorldAnalyzer
 
         ac = AcousticConfig(fs=self.fs, minf0=minf0, maxf0=maxf0)
-        was_integer = np.issubdtype(np.asarray(wav).dtype, np.integer)
+        in_dtype = np.asarray(wav).dtype
+        was_integer = np.issubdtype(in_dtype, np.integer)
         x = np.asarray(wav, np.float64)
         if x.ndim != 1:
             raise ValueError(f"wav must be 1-D, got {x.shape}")
         if x.size == 0:
             raise ValueError("empty waveform (0 samples)")
-        # integer PCM is int16-scale by definition; floats use the
-        # peak heuristic (a normalized [-1,1) clip gets rescaled, an
-        # int16-scale float passes through) — a *quiet* int16-scale
-        # float whose peak happens to be <= 1.0 is indistinguishable
-        # from a silent normalized clip, so pre-scale such input
-        if not was_integer and np.abs(x).max() <= 1.0:
+        # integer PCM is rescaled from its container's full-scale range
+        # to the recipe's int16 scale (int16 passes through; an int32
+        # container holding 24-bit audio would otherwise arrive ~65536x
+        # too large); floats use the peak heuristic (a normalized
+        # [-1,1) clip gets rescaled, an int16-scale float passes
+        # through) — a *quiet* int16-scale float whose peak happens to
+        # be <= 1.0 is indistinguishable from a silent normalized clip,
+        # so pre-scale such input
+        if was_integer and in_dtype != np.int16:
+            x = x * (32768.0 / (float(np.iinfo(in_dtype).max) + 1.0))
+        elif not was_integer and np.abs(x).max() <= 1.0:
             x = x * 32768.0
         if ac.highpass_cutoff:
             x = low_cut_filter(x, self.fs, cutoff=ac.highpass_cutoff)

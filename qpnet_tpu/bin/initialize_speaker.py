@@ -66,19 +66,29 @@ def main(argv=None):
         file_list = read_txt(args.waveforms)
     logging.info("number of utterances = %d", len(file_list))
 
-    file_lists = [l.tolist() for l in
-                  np.array_split(file_list, args.n_jobs)]
-    manager = mp.Manager()
-    f0_dict = manager.dict()
-    npow_dict = manager.dict()
-    processes = []
-    for idx, sub in enumerate(file_lists):
-        p = mp.Process(target=world_feature_extract,
-                       args=(sub, idx, f0_dict, npow_dict))
-        p.start()
-        processes.append(p)
-    for p in processes:
-        p.join()
+    # spawn, not fork: the parent may hold a live JAX/XLA runtime with
+    # many threads (the same deadlock class utils/multi_process.py
+    # documents), and under Python 3.12 fork-in-threads is deprecated.
+    # n_jobs==1 runs inline — no Manager round trip for tests/small sets.
+    n_jobs = max(1, min(args.n_jobs, len(file_list)))
+    if n_jobs <= 1:
+        f0_dict, npow_dict = {}, {}
+        world_feature_extract(file_list, 0, f0_dict, npow_dict)
+    else:
+        ctx = mp.get_context("spawn")
+        file_lists = [l.tolist() for l in
+                      np.array_split(file_list, n_jobs)]
+        manager = ctx.Manager()
+        f0_dict = manager.dict()
+        npow_dict = manager.dict()
+        processes = []
+        for idx, sub in enumerate(file_lists):
+            p = ctx.Process(target=world_feature_extract,
+                            args=(sub, idx, f0_dict, npow_dict))
+            p.start()
+            processes.append(p)
+        for p in processes:
+            p.join()
 
     f0s = np.concatenate([f0_dict[i] for i in sorted(f0_dict.keys())])
     npows = np.concatenate([npow_dict[i] for i in sorted(npow_dict.keys())])

@@ -496,11 +496,21 @@ def serve_tcp(service: StreamingService, host: str = "127.0.0.1",
 
 def request_stats(address) -> dict:
     """Client helper: the {"stats": true} health probe — returns the
-    server's JSON status ({"ok", "pending", "devices", ...counters})."""
+    server's JSON status ({"ok", "pending", "devices", ...counters}).
+    Raises RuntimeError with the server's error body if the server
+    rejected the probe (it replies with the 0xFFFFFFFF sentinel + a JSON
+    error line, mirroring request_stream — without the peek the client
+    would die on an opaque JSONDecodeError instead)."""
     with socket.create_connection(address) as s:
         s.sendall(json.dumps({"stats": True}).encode() + b"\n")
         rfile = s.makefile("rb")
-        return _read_json_line(rfile, "stats")
+        head = _read_exact(rfile, 4, "server closed mid-stats")
+        if struct.unpack("<I", head)[0] == _ERR_SENTINEL:
+            raise RuntimeError(_read_json_line(rfile, "error")["error"])
+        line = head + rfile.readline(_MAX_WIRE_LINE - 4)
+        if not line.endswith(b"\n"):
+            raise ConnectionError("connection closed mid-stats")
+        return json.loads(line)
 
 
 def request_stream(address, h: np.ndarray, d: Optional[np.ndarray] = None):

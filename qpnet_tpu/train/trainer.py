@@ -255,7 +255,13 @@ def run_training(cfg: ModelConfig, tcfg: TrainConfig,
                     mesh,
                     {k: v for k, v in batch_np.items() if np.ndim(v) > 0})
                 # every host must mask the same loss positions; the ONE
-                # per-step host sync also carries the preemption flag
+                # per-step host sync also carries the preemption flag.
+                # Re-sample the raw signal flag HERE (not just the
+                # end-of-previous-step check) so a SIGTERM landing
+                # between the check and this gather still rides THIS
+                # step's sync: the agreed stop then lags the signal by
+                # at most one step, not two
+                local_tripped = local_tripped or guard.signum is not None
                 vl, trip_synced = global_min_and_any(
                     batch_np["valid_len"], local_tripped)
                 batch["valid_len"] = jnp.asarray(vl)

@@ -237,6 +237,11 @@ def test_analyze_integer_pcm_and_empty_input():
     fq_scaled = voc.analyze(quiet.astype(np.float64),  # float path rescales
                             dsp_backend="numpy")
     assert not np.allclose(fq[:, 2], fq_scaled[:, 2], atol=1e-3)
+    # int32-container PCM (e.g. 24-bit audio) is rescaled from ITS
+    # full-scale range to int16 scale, not passed through 65536x hot
+    q32 = (q.astype(np.int64) << 16).astype(np.int32)
+    f32c = voc.analyze(q32, dsp_backend="numpy")
+    np.testing.assert_allclose(f32c, fi, atol=1e-4)
     with pytest.raises(ValueError, match="empty waveform"):
         voc.analyze(np.zeros(0, np.float32))
 

@@ -89,16 +89,56 @@ def test_vcc18_asset_inventory(tmp_path):
 
 
 def test_initialize_speaker(tmp_path):
+    """Direct test of the speaker initializer: PNG artifacts exist, the
+    worker's f0/npow fan-in dicts hold the expected statistics for a
+    known-pitch corpus, and the run stays free of fork-in-threads
+    DeprecationWarnings (the fan-out uses the spawn context, like
+    utils/multi_process.py, to avoid the fork-under-JAX deadlock class)."""
+    import warnings
+
     from qpnet_tpu.bin import initialize_speaker
+
     wavs = _make_wavs(str(tmp_path), n=2)
+
+    # worker contract: voiced-only F0 values near the 150/160 Hz sources,
+    # finite frame powers in the histogram's dB range
+    f0_dict, npow_dict = {}, {}
+    initialize_speaker.world_feature_extract(wavs, 0, f0_dict, npow_dict)
+    f0s, npows = f0_dict[0], npow_dict[0]
+    assert f0s.size > 10 and (f0s > 0).all()
+    assert 140 < np.median(f0s) < 175
+    assert np.isfinite(npows).all() and -70 < np.median(npows) < 20
+
     scp = str(tmp_path / "wavs.scp")
     write_txt(scp, wavs)
     fig_dir = str(tmp_path / "hist")
-    initialize_speaker.main(["--speaker", "SPKX", "--waveforms", scp,
-                             "--figure_dir", fig_dir, "--n_jobs", "1",
-                             "--verbose", "0"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        initialize_speaker.main(["--speaker", "SPKX", "--waveforms", scp,
+                                 "--figure_dir", fig_dir, "--n_jobs", "1",
+                                 "--verbose", "0"])
     assert os.path.exists(os.path.join(fig_dir, "SPKX_f0histogram.png"))
     assert os.path.exists(os.path.join(fig_dir, "SPKX_npowhistogram.png"))
+
+
+def test_initialize_speaker_spawn_fanout(tmp_path):
+    """The multi-process path (n_jobs>1) uses spawn workers and merges
+    the Manager dicts in worker order; output equals the inline path."""
+    import warnings
+
+    from qpnet_tpu.bin import initialize_speaker
+
+    wavs = _make_wavs(str(tmp_path), n=2)
+    scp = str(tmp_path / "wavs.scp")
+    write_txt(scp, wavs)
+    fig_dir = str(tmp_path / "hist2")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        initialize_speaker.main(["--speaker", "SPKY", "--waveforms", scp,
+                                 "--figure_dir", fig_dir, "--n_jobs", "2",
+                                 "--verbose", "0"])
+    assert os.path.exists(os.path.join(fig_dir, "SPKY_f0histogram.png"))
+    assert os.path.exists(os.path.join(fig_dir, "SPKY_npowhistogram.png"))
 
 
 def test_profiler_utils(tmp_path):

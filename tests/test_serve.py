@@ -601,3 +601,32 @@ def test_stats_health_probe(model):
         assert request_stats(srv2.server_address)["ok"] is False
     finally:
         srv2.shutdown()
+
+
+def test_request_stats_surfaces_error_sentinel():
+    """If the server answers the stats probe with the 0xFFFFFFFF error
+    sentinel + JSON error line (the rejection protocol), the client
+    raises RuntimeError with the server's message — not an opaque
+    JSONDecodeError from parsing binary as JSON."""
+    from qpnet_tpu.serve import request_stats
+
+    lsock = socket.socket()
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(1)
+
+    def fake_server():
+        conn, _ = lsock.accept()
+        with conn:
+            conn.makefile("rb").readline()
+            conn.sendall(struct.pack("<I", 0xFFFFFFFF)
+                         + (json.dumps({"error": "stats exploded"})
+                            + "\n").encode())
+
+    t = threading.Thread(target=fake_server, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(RuntimeError, match="stats exploded"):
+            request_stats(lsock.getsockname())
+        t.join(5)
+    finally:
+        lsock.close()
