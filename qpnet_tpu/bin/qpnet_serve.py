@@ -53,8 +53,12 @@ def get_arguments(argv=None):
                              "capacity scales to n_devices * max_streams "
                              "concurrent realtime streams")
     parser.add_argument("--gather_window_ms", default=50.0, type=float,
-                        help="how long to wait for co-batchable requests "
-                             "after the first arrives")
+                        help="CAP on how long any request waits for "
+                             "co-batchable traffic after it arrives")
+    parser.add_argument("--gather_quiet_ms", default=None, type=float,
+                        help="idle chips dispatch once no new request "
+                             "arrived for this long (default: "
+                             "gather_window_ms/10)")
     parser.add_argument("--chunk_samples", default=5500, type=int,
                         help="minimum samples per streamed chunk "
                              "(latency granularity; 5500 = 250 ms at "
@@ -166,6 +170,8 @@ def main(argv=None):
     service = StreamingService(
         params, cfg, max_streams=args.max_streams, maxd=args.maxd,
         gather_window_s=args.gather_window_ms / 1000.0,
+        gather_quiet_s=(None if args.gather_quiet_ms is None
+                        else args.gather_quiet_ms / 1000.0),
         mode=args.mode, seed=args.seed,
         min_chunk_samples=args.chunk_samples,
         first_chunk_samples=args.first_chunk_samples,

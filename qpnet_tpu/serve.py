@@ -12,8 +12,11 @@ This module is that batching layer:
     contract as `bin/qpnet_decode`) and returns a `StreamHandle` whose
     `chunks()` iterator yields mu-law sample chunks as the chip
     generates them;
-  * a scheduler thread gathers requests for `gather_window_s`, groups up
-    to `max_streams` of them, pads the group's batch to a power of two
+  * a scheduler thread (one per chip) gathers co-batchable requests —
+    dispatching as soon as arrivals go quiet (`gather_quiet_s`), the
+    group is full, or the oldest request has waited `gather_window_s` —
+    groups up to `max_streams` of them, pads the group's batch to a
+    power of two
     (so distinct jit keys stay O(log max_streams)), and streams the
     whole group through ONE session — per-stream conditioning shorter
     than the group's longest is padded by repeating its last frame and
@@ -37,6 +40,7 @@ import socket
 import socketserver
 import struct
 import threading
+import time
 from typing import List, Optional
 
 from typing import Callable, Tuple
@@ -92,6 +96,7 @@ class _Request:
         self.h = np.asarray(h, np.float32)          # (F, n_aux)
         self.d = np.asarray(d, np.float32)          # (F,)
         self.handle = StreamHandle(self.h.shape[0] * up)
+        self.t_arrival = time.monotonic()
 
 
 class StreamingService:
@@ -99,9 +104,11 @@ class StreamingService:
 
     params/cfg: the model (e.g. a converted released checkpoint).
     max_streams: largest batch one session serves (64 = the v5e
-    VMEM-optimal kernel batch).  gather_window_s: how long the scheduler
-    waits for co-batchable requests after the first arrives — the
-    latency/throughput knob.  maxd: dilation-factor bucket; submit()
+    VMEM-optimal kernel batch).  gather_window_s: the CAP on how long
+    any request waits for co-batchable traffic; an idle chip actually
+    dispatches once arrivals stop for gather_quiet_s (default
+    window/10) — the latency/throughput knob.  maxd: dilation-factor
+    bucket; submit()
     rejects conditioning above it (same contract as StreamingGenerator).
     devices: chips to spread groups over (e.g. jax.devices()); each gets
     its own scheduler worker with sessions pinned to it, multiplying
@@ -110,6 +117,7 @@ class StreamingService:
 
     def __init__(self, params, cfg: ModelConfig, max_streams: int = 64,
                  maxd: int = 32, gather_window_s: float = 0.05,
+                 gather_quiet_s: Optional[float] = None,
                  mode: str = "sampling", seed: int = 100,
                  min_chunk_samples: int = 5500,
                  first_chunk_samples: int = 0, interpret: bool = False,
@@ -130,6 +138,16 @@ class StreamingService:
         self.max_streams = max_streams
         self.maxd, self.mode, self.seed = maxd, mode, seed
         self.gather_window_s = gather_window_s
+        # adaptive gather: an idle chip dispatches once arrivals go
+        # QUIET for this long (default window/10) instead of always
+        # sitting out the full window — a lone low-load request or a
+        # tight burst starts ~window earlier, while staggered arrivals
+        # still batch up to the window cap.  Set explicitly to tune;
+        # gather_window_s remains the hard cap on any request's wait
+        # for co-batchable traffic.
+        self.gather_quiet_s = (gather_quiet_s if gather_quiet_s is not None
+                               else gather_window_s / 10.0)
+        self._last_arrival = 0.0
         self.min_chunk_samples = min_chunk_samples
         # >0: each group's FIRST chunk is this short (rounded up to whole
         # frames) — time-to-first-audio drops roughly proportionally, at
@@ -227,6 +245,8 @@ class StreamingService:
                 raise RuntimeError(
                     f"service overloaded: {len(self._pending)} requests "
                     f"already queued (max_pending={self.max_pending})")
+            req.t_arrival = time.monotonic()
+            self._last_arrival = req.t_arrival
             self._pending.append(req)
             self._cv.notify()
         return req.handle
@@ -254,17 +274,35 @@ class StreamingService:
 
     def _take_group(self) -> Optional[List[_Request]]:
         with self._cv:
-            while not self._pending and not self._closed:
-                self._cv.wait()
-            if not self._pending:
-                return None
-            # gather window: let co-batchable requests arrive (skipped
-            # when closing — drain immediately)
-            if not self._closed:
-                self._cv.wait_for(
-                    lambda: len(self._pending) >= self.max_streams
-                    or self._closed,
-                    timeout=self.gather_window_s)
+            # Idle-aware adaptive gather.  This thread being here means
+            # its chip is idle; dispatch the moment further waiting
+            # stops buying batching:
+            #   * the group is full (max_streams pending), or
+            #   * arrivals went quiet (no new request for
+            #     gather_quiet_s — a lone request or a finished burst
+            #     is not going to grow by waiting longer), or
+            #   * the OLDEST pending request has waited the full
+            #     gather_window_s (the latency cap; a backlog that aged
+            #     while every chip was busy dispatches immediately on
+            #     the first chip to free up), or
+            #   * the service is closing (drain).
+            # Multiple scheduler threads (one per chip) race on the
+            # shared queue under this lock, so re-check emptiness after
+            # every wait — a peer may have taken everything.
+            while True:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if not self._pending:
+                    return None                       # closed and drained
+                if self._closed or len(self._pending) >= self.max_streams:
+                    break
+                now = time.monotonic()
+                deadline = min(
+                    self._pending[0].t_arrival + self.gather_window_s,
+                    self._last_arrival + self.gather_quiet_s)
+                if deadline <= now:
+                    break
+                self._cv.wait(deadline - now)
             # requests cancelled while queued never reach a kernel
             live = [r for r in self._pending if not r.handle.cancelled]
             self.stats["streams_cancelled"] += (len(self._pending)

@@ -603,6 +603,55 @@ def test_stats_health_probe(model):
         srv2.shutdown()
 
 
+def test_idle_dispatch_skips_the_gather_window(model):
+    """TTFB regression (adaptive gather): a lone request on an idle
+    service dispatches once arrivals go quiet (gather_quiet_s), NOT
+    after the full gather_window_s — with a 30 s window the request
+    would otherwise sit for 30 s before any kernel ran."""
+    cfg, params = model
+    svc = make_service(cfg, params, max_streams=4, gather_window_s=30.0,
+                       gather_quiet_s=0.05)
+    try:
+        F = 4
+        h = np.zeros((F, cfg.n_aux), np.float32)
+        d = np.full(F, 2.0, np.float32)
+        t0 = time.monotonic()
+        out = svc.submit(h, d).samples()
+        wall = time.monotonic() - t0
+        assert out.shape == (F * cfg.upsampling_factor,)
+        # generous bound for slow CI: far below the 30 s window, the
+        # only way to pass is the quiet-dispatch path
+        assert wall < 10.0, f"lone request waited {wall:.1f}s to dispatch"
+        # default quiet is window/10 — never more than the window
+        assert svc.gather_quiet_s == 0.05
+    finally:
+        svc.close()
+    svc2 = make_service(cfg, params, gather_window_s=1.0)
+    try:
+        assert svc2.gather_quiet_s == pytest.approx(0.1)
+    finally:
+        svc2.close()
+
+
+def test_burst_still_batches_into_one_group(model):
+    """Quiet-dispatch must not split a tight burst: max_streams requests
+    submitted back-to-back land in ONE group (one kernel session), so
+    steady-state throughput is unchanged by the TTFB fix."""
+    cfg, params = model
+    svc = make_service(cfg, params, max_streams=4, gather_window_s=2.0,
+                       gather_quiet_s=0.3)
+    try:
+        F = 4
+        h = np.zeros((F, cfg.n_aux), np.float32)
+        d = np.full(F, 2.0, np.float32)
+        handles = [svc.submit(h, d) for _ in range(4)]
+        for hd in handles:
+            assert hd.samples().shape == (F * cfg.upsampling_factor,)
+        assert svc.stats["groups"] == 1, svc.stats
+    finally:
+        svc.close()
+
+
 def test_request_stats_surfaces_error_sentinel():
     """If the server answers the stats probe with the 0xFFFFFFFF error
     sentinel + JSON error line (the rejection protocol), the client
