@@ -234,11 +234,20 @@ def main():
     total = B * n_samples
     sps = total / dt
     target = args.fs * 50.0
+    # MFU: every generated sample costs ~2 FLOP per matmul parameter
+    # (the AR step is one full forward), so achieved = sps * 2 * params
+    # against the v5e bf16 peak (197 Tbf16/s; int8 w8a8 runs at the
+    # same MXU rate under Mosaic — measured, BENCH_NOTES.md round 2)
+    n_params = sum(int(np.prod(np.shape(leaf)))
+                   for leaf in jax.tree_util.tree_leaves(params))
+    mfu = sps * 2.0 * n_params / 197e12
     print(json.dumps({
         "metric": "ar_synthesis_samples_per_sec_per_chip",
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / target, 4),
+        "mfu": round(mfu, 4),
+        "params": n_params,
     }))
 
 

@@ -573,15 +573,42 @@ def _pallas_mesh_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
     return np.moveaxis(out, 0, 1)[:B, :n_steps]
 
 
+def choose_stream_min_dil(cfg: ModelConfig, B: int, maxd: int,
+                          quantize: str = "none"):
+    """Re-export of ops.gen_kernel.choose_stream_min_dil (the engine
+    pickers below and callers like bench live at this level)."""
+    from qpnet_tpu.ops.gen_kernel import choose_stream_min_dil as _c
+    return _c(cfg, B, maxd, quantize)
+
+
+def _min_vmem_cost(cfg: ModelConfig, B: int, maxd: int,
+                   quantize: str = "none") -> int:
+    """Resident VMEM bytes at the streaming level choose_stream_min_dil
+    would pick (the batch-size chooser must see the same budget the
+    kernel will actually run with)."""
+    from qpnet_tpu.ops.gen_kernel import vmem_cost_bytes
+    thr, fits = choose_stream_min_dil(cfg, B, maxd, quantize)
+    if not fits:
+        # no level fits: report the most-streamed cost (still over budget)
+        from qpnet_tpu.ops.gen_kernel import STREAM_W
+        thrs = [d for d in cfg.dilationsF
+                if d >= 4 * STREAM_W and d % STREAM_W == 0]
+        thr = min(thrs) if thrs else None
+    if thr is None:
+        # keep the 4-arg call form: tests monkeypatch vmem_cost_bytes
+        # with simple stand-ins
+        return vmem_cost_bytes(cfg, B, maxd, quantize)
+    return vmem_cost_bytes(cfg, B, maxd, quantize, stream_min_dil=thr)
+
+
 def pallas_engine_available(cfg: ModelConfig, B: int, maxd: int,
                             quantize: str = "none") -> bool:
-    from qpnet_tpu.ops.gen_kernel import VMEM_LIMIT, vmem_cost_bytes
     # the Mosaic kernel only lowers for TPU (this environment's tunnel
     # backend reports platform "axon" but serves a real TPU)
     platform = jax.devices()[0].platform
     if platform not in ("tpu", "axon"):
         return False
-    return vmem_cost_bytes(cfg, B, maxd, quantize) < VMEM_LIMIT
+    return choose_stream_min_dil(cfg, B, maxd, quantize)[1]
 
 
 # throughput-optimal kernel batch: per-step cost rises with B well before
@@ -609,18 +636,18 @@ def choose_pallas_sub_batch(cfg: ModelConfig, B: int, maxd: int,
 
     Filling VMEM to the brim is the wrong objective — a 128-utterance
     batch sliced as 2x120 padded slots runs at half the rate of 2x64."""
-    from qpnet_tpu.ops.gen_kernel import VMEM_LIMIT, vmem_cost_bytes
-    if vmem_cost_bytes(cfg, B, maxd, quantize) < VMEM_LIMIT:
+    from qpnet_tpu.ops.gen_kernel import VMEM_LIMIT
+    if _min_vmem_cost(cfg, B, maxd, quantize) < VMEM_LIMIT:
         return B
     largest_fit = 0
     for sub in range((B - 1) // 8 * 8, 0, -8):
-        if vmem_cost_bytes(cfg, sub, maxd, quantize) < VMEM_LIMIT:
+        if _min_vmem_cost(cfg, sub, maxd, quantize) < VMEM_LIMIT:
             largest_fit = sub
             break
     if not largest_fit:
         # no multiple of 8 fits (or B <= 8): largest size that does
         for sub in range(min(7, B - 1), 0, -1):
-            if vmem_cost_bytes(cfg, sub, maxd, quantize) < VMEM_LIMIT:
+            if _min_vmem_cost(cfg, sub, maxd, quantize) < VMEM_LIMIT:
                 return sub
         return 0
     cap = min(largest_fit, PALLAS_OPT_BATCH)
@@ -975,6 +1002,29 @@ def teacher_forced_logits(params: Params, cfg: ModelConfig,
     return np.moveaxis(out, 0, 1)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "B", "maxd"))
+def _streaming_prime(params, cfg, h_first_frame, B, maxd):
+    """StreamingGenerator's priming pass as ONE jitted dispatch: constant
+    mid-scale seed history (the recipe's decode seed), ring buffers laid
+    out for the pallas kernel's t=0 origin.  h_first_frame: (B, n_aux)
+    standardized aux of the group's first frame."""
+    rf = (cfg.receptiveF + cfg.receptiveA * maxd
+          + cfg.receptive_causal + 1)
+    x_seed = jnp.full((B, rf), cfg.n_quantize // 2, jnp.int32)
+    h0_up = h_first_frame * params["up_w"][0] + params["up_b"]
+    bufsF, bufsA = _prime_ring_buffers(
+        params, cfg, x_seed, h0_up, maxd, jnp.float32, t0=0,
+        const_seed=True, ring_pad=1)
+    bufF = jnp.concatenate(
+        [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsF],
+        axis=0)
+    bufA = jnp.concatenate(
+        [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsA],
+        axis=0)
+    x0 = jnp.stack([x_seed[:, -2], x_seed[:, -1]]).astype(jnp.int32)
+    return bufF, bufA, x0
+
+
 class StreamingGenerator:
     """Chunked low-latency generation with carried ring state.
 
@@ -1037,24 +1087,12 @@ class StreamingGenerator:
         self._offset = 0
 
     def _prime(self, h_first_frame: np.ndarray):
-        cfg, B, maxd = self.cfg, self.B, self.maxd
-        x_seed = np.full(
-            (B, cfg.receptiveF + cfg.receptiveA * maxd
-             + cfg.receptive_causal + 1),
-            cfg.n_quantize // 2, np.int32)
-        h0_up = (h_first_frame * np.asarray(self._params["up_w"])[0]
-                 + np.asarray(self._params["up_b"]))
-        bufsF, bufsA = _prime_ring_buffers(
-            self._params, cfg, x_seed, h0_up, maxd, jnp.float32, t0=0,
-            const_seed=True, ring_pad=1)
-        bufF = jnp.concatenate(
-            [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsF],
-            axis=0)
-        bufA = jnp.concatenate(
-            [jnp.moveaxis(b, 0, 1).astype(jnp.bfloat16) for b in bufsA],
-            axis=0)
-        x0 = jnp.stack([x_seed[:, -2], x_seed[:, -1]]).astype(jnp.int32)
-        self._state = (bufF, bufA, x0)
+        # one jitted dispatch: priming eagerly runs ~100 small ops, each
+        # paying this deployment's host<->device round trip — measured
+        # ~275 ms of a group's time-to-first-audio before this was fused
+        self._state = _streaming_prime(self._params, self.cfg,
+                                       jnp.asarray(h_first_frame),
+                                       self.B, self.maxd)
 
     def feed(self, h_frames: np.ndarray, d_frames: np.ndarray) -> np.ndarray:
         """h_frames: (B, F, n_aux) standardized aux; d_frames: (B, F)

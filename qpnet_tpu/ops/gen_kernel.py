@@ -41,6 +41,19 @@ from qpnet_tpu.config import ModelConfig
 AUX_PAD = 48           # n_aux padded for clean MXU tiling
 VMEM_LIMIT = 126 * 1024 * 1024
 
+# Ring streaming (deep networks): fixed-stack rings are accessed at slot
+# t % size — perfectly sequential — so layers whose ring would blow the
+# VMEM budget (Rd10Rr3Ed4Er1's dilations up to 512: 3069 ring slots vs
+# the default net's 45) keep their ring in HBM and stage a sliding
+# window of STREAM_W slots in VMEM, triple-buffered so the prefetch of
+# window k+1 and the write-back of window k-1 overlap window k's
+# compute.  Windows are aligned on the ABSOLUTE sample index (W divides
+# every streamed dilation — powers of two), so chunked continuation
+# stays position-exact for any step_offset: a chunk entering mid-window
+# prefetches the full window (its untouched slots are live history) and
+# the final partial window writes back read-unmodified slots unchanged.
+STREAM_W = 8
+
 
 def pack_weights(params: Dict[str, Any], cfg: ModelConfig,
                  quantize: str = "none") -> Dict[str, Any]:
@@ -114,10 +127,29 @@ def pack_weights(params: Dict[str, Any], cfg: ModelConfig,
     return out
 
 
+def stream_layers(cfg: ModelConfig, stream_min_dil) -> list:
+    """Indices of fixed layers whose rings live in HBM (dilation >=
+    stream_min_dil).  None = no streaming (all rings VMEM-resident)."""
+    if stream_min_dil is None:
+        return []
+    if stream_min_dil < 4 * STREAM_W:
+        # window scheduling needs >= 4 windows per ring cycle so the
+        # prefetch of window k+1 never races the write-back of k-1
+        raise ValueError(f"stream_min_dil must be >= {4 * STREAM_W}")
+    bad = [d for d in cfg.dilationsF
+           if d >= stream_min_dil and d % STREAM_W]
+    if bad:
+        raise ValueError(f"streamed dilations must be multiples of "
+                         f"{STREAM_W}, got {bad}")
+    return [i for i, d in enumerate(cfg.dilationsF) if d >= stream_min_dil]
+
+
 def vmem_cost_bytes(cfg: ModelConfig, B: int, maxd: int,
-                    quantize: str = "none") -> int:
+                    quantize: str = "none", stream_min_dil=None) -> int:
     """Rough resident VMEM footprint; callers fall back to the XLA scan
-    path when this exceeds the budget (large maxd buckets / batches)."""
+    path when this exceeds the budget (large maxd buckets / batches).
+    stream_min_dil: fixed layers with dilation >= it keep their rings in
+    HBM and stage STREAM_W-slot windows instead (see stream_layers)."""
     R, S, Q = cfg.n_resch, cfg.n_skipch, cfg.n_quantize
     L = len(cfg.dilationsF) + len(cfg.dilationsA)
     wbytes = 1 if quantize == "w8a8" else 2
@@ -129,14 +161,68 @@ def vmem_cost_bytes(cfg: ModelConfig, B: int, maxd: int,
     # dimension pads to a multiple of 8 sublanes (a B=5 deep-net kernel
     # allocates its (3069, 8, 512) rings, not (3069, 5, 512))
     B8 = -(-B // 8) * 8
-    bufF = 2 * sum(cfg.dilationsF) * B8 * R
+    streamed = set(stream_layers(cfg, stream_min_dil))
+    resident_slots = sum(d for i, d in enumerate(cfg.dilationsF)
+                         if i not in streamed)
+    bufF = 2 * resident_slots * B8 * R
+    staging = 2 * len(streamed) * 3 * STREAM_W * B8 * R
     bufA = 2 * (maxd * sum(cfg.dilationsA) + len(cfg.dilationsA)) * B8 * R
     aux_cache = 4 * L * B8 * 2 * R
-    return weights + bufF + bufA + aux_cache + (1 << 23)
+    return weights + bufF + staging + bufA + aux_cache + (1 << 23)
+
+
+def _partition_fixed(cfg: ModelConfig, stream_min_dil):
+    """Split fixed layers into VMEM-resident and HBM-streamed ring sets.
+
+    Returns (streamed_rows, offF, offF_res, sumF_res, runs): streamed_rows
+    maps layer index -> staging row; offF is the flat-pack HBM offset of
+    every fixed layer (the priming layout, unchanged by streaming);
+    offF_res the VMEM offset of each resident layer; runs the contiguous
+    (hbm_off, vmem_off, length) resident spans for init/export DMAs."""
+    sizesF = list(cfg.dilationsF)
+    offF = np.cumsum([0] + sizesF)[:-1].tolist()
+    streamed = stream_layers(cfg, stream_min_dil)
+    streamed_rows = {l: i for i, l in enumerate(streamed)}
+    offF_res, runs = {}, []
+    acc = 0
+    for l, size in enumerate(sizesF):
+        if l in streamed_rows:
+            continue
+        offF_res[l] = acc
+        if runs and runs[-1][0] + runs[-1][2] == offF[l] \
+                and runs[-1][1] + runs[-1][2] == acc:
+            runs[-1] = (runs[-1][0], runs[-1][1], runs[-1][2] + size)
+        else:
+            runs.append((offF[l], acc, size))
+        acc += size
+    return streamed_rows, offF, offF_res, acc, runs
+
+
+def choose_stream_min_dil(cfg: ModelConfig, B: int, maxd: int,
+                          quantize: str = "none"):
+    """Pick the least ring streaming that fits the VMEM budget.
+
+    Returns (stream_min_dil, fits): None/True when every ring is
+    VMEM-resident (the fast default), a dilation threshold/True when
+    offloading the >= threshold fixed rings to HBM windows makes the
+    kernel fit (deep networks: Rd10Rr3Ed4Er1's 3069 ring slots), or
+    None/False when even full streaming cannot fit (weights + adaptive
+    rings alone exceed the budget -> XLA scan fallback)."""
+    if vmem_cost_bytes(cfg, B, maxd, quantize) < VMEM_LIMIT:
+        return None, True
+    # prefer streaming as few layers as possible: largest threshold first
+    for thr in sorted({d for d in cfg.dilationsF
+                       if d >= 4 * STREAM_W and d % STREAM_W == 0},
+                      reverse=True):
+        if vmem_cost_bytes(cfg, B, maxd, quantize,
+                           stream_min_dil=thr) < VMEM_LIMIT:
+            return thr, True
+    return None, False
 
 
 def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
-                 interpret: bool = False, quantize: str = "none"):
+                 interpret: bool = False, quantize: str = "none",
+                 stream_min_dil=None):
     if mode not in ("sampling", "argmax", "forced"):
         raise ValueError("mode should be sampling, argmax or forced")
     import os
@@ -150,7 +236,10 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
     # +1 slot so this step's write never collides with the deepest
     # look-back read (r spans [0, maxd*dil]; write-before-read serves r=0)
     sizesA = [maxd * d + 1 for d in dilsA]
-    offF = np.cumsum([0] + sizesF)[:-1].tolist()
+    s_rows, offF, offF_res, sumF_res, res_runs = _partition_fixed(
+        cfg, stream_min_dil)
+    n_s = len(s_rows)
+    W = STREAM_W
     offA = np.cumsum([0] + sizesA)[:-1].tolist()
     bf16 = jnp.bfloat16
     UNROLL = 2 if up % 2 == 0 else 1
@@ -185,22 +274,66 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                out_ref,                       # (up,1,B) i32 samples, or
                                               # (up,B,Q) f32 logits (forced)
                bufF_out_ref, bufA_out_ref, x_out_ref,  # carried state out
-               bufF, bufA, x_state, aux_cache, e_prev, pastA_s,
-               init_sems):
+               *scratch):
+        if n_s:
+            (bufF, bufA, x_state, aux_cache, e_prev, pastA_s,
+             init_sems, stage, pre_sem, wb_sem) = scratch
+        else:
+            (bufF, bufA, x_state, aux_cache, e_prev, pastA_s,
+             init_sems) = scratch
         g_idx = pl.program_id(0)
         n_total = pl.num_programs(0) * UNROLL
+        offs = seed_ref[1]
+        # streamed-ring window bookkeeping: windows are W consecutive
+        # ABSOLUTE sample indices; k0/k_last bound this chunk's windows
+        k0 = offs // W
+        k_last = (offs + n_total - 1) // W
+
+        def pre_dma(ls, l, k):
+            """Prefetch window k of streamed layer l (HBM ring -> VMEM
+            staging slot k%3).  bufF_out_ref aliases bufF0_ref, so the
+            ring's canonical storage is the kernel's own output buffer."""
+            size = sizesF[l]
+            start = jax.lax.rem(k * W, size)
+            return pltpu.make_async_copy(
+                bufF_out_ref.at[pl.ds(offF[l] + start, W)],
+                stage.at[ls, jax.lax.rem(k, 3)],
+                pre_sem.at[ls, jax.lax.rem(k, 3)])
+
+        def wb_dma(ls, l, k):
+            """Write window k back to the HBM ring."""
+            size = sizesF[l]
+            start = jax.lax.rem(k * W, size)
+            return pltpu.make_async_copy(
+                stage.at[ls, jax.lax.rem(k, 3)],
+                bufF_out_ref.at[pl.ds(offF[l] + start, W)],
+                wb_sem.at[ls, jax.lax.rem(k, 3)])
 
         @pl.when(g_idx == 0)
         def _init():
             # primed buffers live in HBM (keeping them VMEM-resident would
-            # double the ring-buffer footprint); one DMA each at step 0
-            cp1 = pltpu.make_async_copy(bufF0_ref, bufF, init_sems.at[0])
+            # double the ring-buffer footprint); one DMA per resident span
+            # at step 0 (streamed layers stay in HBM: only their first
+            # window(s) stage in)
+            for hbm_off, vmem_off, length in res_runs:
+                cp = pltpu.make_async_copy(
+                    bufF0_ref.at[pl.ds(hbm_off, length)],
+                    bufF.at[pl.ds(vmem_off, length)],
+                    init_sems.at[0])
+                cp.start()
+                cp.wait()
             cp2 = pltpu.make_async_copy(bufA0_ref, bufA, init_sems.at[1])
-            cp1.start()
             cp2.start()
-            cp1.wait()
             cp2.wait()
             x_state[...] = x0_ref[...]
+            for l, ls in s_rows.items():
+                d0 = pre_dma(ls, l, k0)
+                d0.start()
+                d0.wait()
+
+                @pl.when(k0 + 1 <= k_last)
+                def _pre_next(ls=ls, l=l):
+                    pre_dma(ls, l, k0 + 1).start()
 
         # per-sample body; called UNROLL times per grid step so
         # the grid/block bookkeeping amortizes over samples
@@ -210,6 +343,34 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
             # position-exact regardless of the chunk length
             t_abs = t + seed_ref[1]
             w_t = upw_ref[jax.lax.rem(t_abs, up)]
+
+            if n_s:
+                k_cur = t_abs // W
+                slot_cur = jax.lax.rem(k_cur, 3)
+                pos_cur = jax.lax.rem(t_abs, W)
+
+                # window boundary: rotate the triple-buffered staging —
+                # write back window k-1, ensure window k arrived, start
+                # prefetching window k+1.  All waits target DMAs issued a
+                # full window (W steps) earlier, so they are no-ops in
+                # steady state; t > 0 excludes the chunk's first step
+                # (init staged window k0).
+                @pl.when((pos_cur == 0) & (t > 0))
+                def _stream_boundary():
+                    k = k_cur
+                    for l, ls in s_rows.items():
+                        # window k-2's write-back (started at boundary
+                        # k-1) must finish before its slot (k+1)%3 is
+                        # re-used by window k+1's prefetch below
+                        @pl.when(k >= k0 + 2)
+                        def _wait_wb(ls=ls, l=l):
+                            wb_dma(ls, l, k - 2).wait()
+                        wb_dma(ls, l, k - 1).start()
+                        pre_dma(ls, l, k).wait()
+
+                        @pl.when(k + 1 <= k_last)
+                        def _pre_next(ls=ls, l=l):
+                            pre_dma(ls, l, k + 1).start()
 
             # the aux features are frame-rate: the 16 aux projections change only
             # every `up` samples, so they are recomputed at frame boundaries and
@@ -245,10 +406,17 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                 jnp.float32)
 
             for l in range(L):
-                if l < nF:
+                if l < nF and l in s_rows:
+                    # streamed ring: the live window is VMEM-staged; read
+                    # o(t-d) at this step's in-window position (the slot
+                    # holds the value written d steps ago — prefetched
+                    # from the HBM ring), overwritten with o(t) below
+                    past = stage[s_rows[l], pl.ds(slot_cur, 1),
+                                 pl.ds(pos_cur, 1), :, :][0, 0]       # (B, R)
+                elif l < nF:
                     size = sizesF[l]
                     slot = jax.lax.rem(t_abs, size)
-                    past = bufF[pl.ds(offF[l] + slot, 1), :, :][0]   # (B, R)
+                    past = bufF[pl.ds(offF_res[l] + slot, 1), :, :][0]  # (B, R)
                 else:
                     # pitch-adaptive look-back r = round(d*dil) differs per
                     # utterance: write this step's o first (so r=0 reads it
@@ -298,9 +466,13 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                 else:
                     outp = mm(g, W_out_ref[l])
                 skip_sum = skip_sum + outp[:, :S]
-                if l < nF:
+                if l < nF and l in s_rows:
+                    stage[s_rows[l], pl.ds(slot_cur, 1),
+                          pl.ds(pos_cur, 1), :, :] = \
+                        o[None, None].astype(bf16)
+                elif l < nF:
                     wslot = jax.lax.rem(t_abs, size)
-                    bufF[pl.ds(offF[l] + wslot, 1), :, :] = \
+                    bufF[pl.ds(offF_res[l] + wslot, 1), :, :] = \
                         o[None].astype(bf16)
                 o = (o.astype(jnp.float32) + outp[:, S:]
                      + b_res_ref[l]).astype(bf16)
@@ -317,12 +489,30 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
             def _export_state():
                 # stream the final ring state back to HBM so a follow-up chunk
                 # can continue exactly where this one stopped
-                cp1 = pltpu.make_async_copy(bufF, bufF_out_ref, init_sems.at[0])
+                for hbm_off, vmem_off, length in res_runs:
+                    cp = pltpu.make_async_copy(
+                        bufF.at[pl.ds(vmem_off, length)],
+                        bufF_out_ref.at[pl.ds(hbm_off, length)],
+                        init_sems.at[0])
+                    cp.start()
+                    cp.wait()
                 cp2 = pltpu.make_async_copy(bufA, bufA_out_ref, init_sems.at[1])
-                cp1.start()
                 cp2.start()
-                cp1.wait()
                 cp2.wait()
+                # streamed rings: the HBM copy is already current up to
+                # window k-2; retire window k-1's write-back (started at
+                # this window's boundary) and flush the live window k.
+                # Untouched slots of a partial final window round-trip
+                # their prefetched values — a semantic no-op
+                for l, ls in s_rows.items():
+                    k = k_last
+
+                    @pl.when(k > k0)
+                    def _wait_prev(ls=ls, l=l, k=k):
+                        wb_dma(ls, l, k - 1).wait()
+                    fin = wb_dma(ls, l, k)
+                    fin.start()
+                    fin.wait()
 
             if mode == "forced":
                 # teacher-forced mode: the next input sample comes from the
@@ -385,7 +575,7 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "B", "maxd", "n_steps", "mode", "interpret",
-                     "quantize"))
+                     "quantize", "stream_min_dil"))
 def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
                     bufF0: jnp.ndarray, bufA0: jnp.ndarray,
                     x0: jnp.ndarray, h_frames: jnp.ndarray,
@@ -396,7 +586,8 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
                     quantize: str = "none",
                     step_offset: int = 0,
                     b_offset=0,
-                    x_forced=None):
+                    x_forced=None,
+                    stream_min_dil="auto"):
     """Run the generation kernel.
 
     bufF0: (sum(dilsF), B, R) bf16 primed fixed ring buffers, flat-packed
@@ -421,12 +612,19 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
     up = cfg.upsampling_factor
     assert n_steps % up == 0, "n_steps must cover whole frames"
     U = 2 if up % 2 == 0 else 1   # samples per grid step (matches kernel)
-    kernel = _make_kernel(cfg, B, maxd, mode, interpret, quantize)
+    if stream_min_dil == "auto":
+        # deterministic function of static shapes: every shard / call
+        # site resolves to the same level, so callers need no plumbing
+        stream_min_dil = choose_stream_min_dil(cfg, B, maxd, quantize)[0]
+    kernel = _make_kernel(cfg, B, maxd, mode, interpret, quantize,
+                          stream_min_dil)
     nF, nA = len(cfg.dilationsF), len(cfg.dilationsA)
     L = nF + nA
     R = cfg.n_resch
     sumF = sum(cfg.dilationsF)
     sumA = maxd * sum(cfg.dilationsA) + len(cfg.dilationsA)
+    s_rows, _, _, sumF_res, _ = _partition_fixed(cfg, stream_min_dil)
+    n_s = len(s_rows)
 
     resident = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     seed_arr = jnp.stack([jnp.asarray(seed, jnp.int32),
@@ -471,14 +669,20 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((sumF, B, R), jnp.bfloat16),
+            pltpu.VMEM((max(sumF_res, 1), B, R), jnp.bfloat16),
             pltpu.VMEM((sumA, B, R), jnp.bfloat16),
             pltpu.VMEM((2, B), jnp.int32),
             pltpu.VMEM((L, B, 2 * R), jnp.float32),  # per-frame aux proj
             pltpu.VMEM((B, R), jnp.float32),         # carried E_prev[x_cur]
             pltpu.VMEM((B, R), jnp.bfloat16),        # adaptive gather rows
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([
+            # streamed-ring staging: triple-buffered STREAM_W-slot windows
+            pltpu.VMEM((n_s, 3, STREAM_W, B, R), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((n_s, 3)),       # prefetch sems
+            pltpu.SemaphoreType.DMA((n_s, 3)),       # write-back sems
+        ] if n_s else []),
+        input_output_aliases={18: 1} if n_s else {},
         out_shape=(
             out0_shape,
             jax.ShapeDtypeStruct((sumF, B, R), jnp.bfloat16),

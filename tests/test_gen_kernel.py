@@ -178,3 +178,123 @@ def test_choose_pallas_sub_batch_small_batches(monkeypatch):
     assert choose_pallas_sub_batch(cfg, 100, maxd=4) == 4
     monkeypatch.setattr(gen_kernel, "VMEM_LIMIT", 5)
     assert choose_pallas_sub_batch(cfg, 8, maxd=4) == 0
+
+
+# ---------------------------------------------------------------------------
+# Ring streaming (deep networks): fixed rings too large for VMEM live in
+# HBM with triple-buffered STREAM_W-slot VMEM windows (gen_kernel.py
+# stream_layers/STREAM_W).  The streamed kernel must be BIT-identical to
+# the fully resident one — same samples, same carried ring state — for
+# one-shot runs and for chunked continuation at window-misaligned offsets.
+# ---------------------------------------------------------------------------
+
+
+def deep_tiny_cfg():
+    # dilations 1..32 so the >=32 layer qualifies for streaming
+    # (stream_min_dil must be >= 4*STREAM_W = 32 and divide the window)
+    return ModelConfig(n_quantize=32, n_aux=4, n_resch=16, n_skipch=8,
+                       dilationF_depth=6, dilationF_repeat=1,
+                       dilationA_depth=2, dilationA_repeat=1,
+                       kernel_size=2, upsampling_factor=10)
+
+
+def _streamed_inputs(cfg, B, maxd, F, seed=0):
+    from qpnet_tpu.models.generate import _pallas_prologue
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(seed)
+    rf = cfg.receptiveF + cfg.receptiveA * maxd + cfg.receptive_causal + 1
+    x_seed = np.full((B, rf), cfg.n_quantize // 2, np.int32)
+    h_pad = np.zeros((F, B, 48), np.float32)
+    h_pad[:, :, : cfg.n_aux] = rng.normal(size=(F, B, cfg.n_aux))
+    d_frames = np.full((F, 1, B), 2.5, np.float32)
+    packed, bufF, bufA, x0 = _pallas_prologue(
+        params, cfg, jnp.asarray(x_seed), jnp.asarray(h_pad[0]),
+        maxd=maxd, quantize="none", const_seed=True)
+    return packed, bufF, bufA, x0, h_pad, d_frames
+
+
+@pytest.mark.slow
+def test_streamed_rings_bit_identical_to_resident():
+    """HBM-streamed fixed rings == VMEM-resident rings, samples AND
+    carried state, over enough steps that the streamed ring wraps its
+    full cycle several times (120 steps / 32-slot ring)."""
+    from qpnet_tpu.ops.gen_kernel import pallas_generate
+
+    cfg = deep_tiny_cfg()
+    B, maxd, F = 3, 4, 12
+    packed, bufF, bufA, x0, h_pad, d_frames = _streamed_inputs(
+        cfg, B, maxd, F)
+    kw = dict(B=B, maxd=maxd, mode="sampling", interpret=True,
+              quantize="none", n_steps=F * cfg.upsampling_factor)
+    ref = pallas_generate(packed, cfg, bufF, bufA, x0,
+                          jnp.asarray(h_pad, jnp.bfloat16),
+                          jnp.asarray(d_frames), 7,
+                          stream_min_dil=None, **kw)
+    got = pallas_generate(packed, cfg, bufF, bufA, x0,
+                          jnp.asarray(h_pad, jnp.bfloat16),
+                          jnp.asarray(d_frames), 7,
+                          stream_min_dil=32, **kw)
+    for r, g, name in zip(ref, got, ["samples", "bufF", "bufA", "x"]):
+        assert np.array_equal(np.asarray(r), np.asarray(g)), name
+
+
+@pytest.mark.slow
+def test_streamed_rings_chunked_misaligned_offsets():
+    """Chunked continuation with STREAM_W-misaligned step offsets (up=10,
+    W=8: offsets 10, 40, 60 all mid-window) must reproduce the one-shot
+    streamed run bit-for-bit — partial windows at chunk edges round-trip
+    untouched slots unchanged."""
+    from qpnet_tpu.ops.gen_kernel import pallas_generate
+
+    cfg = deep_tiny_cfg()
+    up = cfg.upsampling_factor
+    B, maxd, F = 3, 4, 12
+    packed, bufF, bufA, x0, h_pad, d_frames = _streamed_inputs(
+        cfg, B, maxd, F)
+    kw = dict(B=B, maxd=maxd, mode="sampling", interpret=True,
+              quantize="none", stream_min_dil=32)
+    one = pallas_generate(packed, cfg, bufF, bufA, x0,
+                          jnp.asarray(h_pad, jnp.bfloat16),
+                          jnp.asarray(d_frames), 7,
+                          n_steps=F * up, **kw)
+    pieces, off = [], 0
+    state = (bufF, bufA, x0)
+    for fchunk in [1, 3, 2, 6]:
+        f0, f1 = off // up, off // up + fchunk
+        s, *state = pallas_generate(
+            packed, cfg, *state,
+            jnp.asarray(h_pad[f0:f1], jnp.bfloat16),
+            jnp.asarray(d_frames[f0:f1]), 7,
+            n_steps=fchunk * up, step_offset=off, **kw)
+        pieces.append(np.asarray(s))
+        off += fchunk * up
+    assert np.array_equal(np.concatenate(pieces, axis=0),
+                          np.asarray(one[0]))
+    for c, o, name in zip(state, one[1:], ["bufF", "bufA", "x"]):
+        assert np.array_equal(np.asarray(c), np.asarray(o)), name
+
+
+def test_stream_layer_selection_and_cost_model():
+    """stream_layers validates thresholds; choose_stream_min_dil prefers
+    residency, then the least streaming that fits, then reports no-fit;
+    the cost model shrinks when rings stream."""
+    from qpnet_tpu.ops.gen_kernel import (VMEM_LIMIT, choose_stream_min_dil,
+                                          stream_layers, vmem_cost_bytes)
+
+    cfg = deep_tiny_cfg()
+    assert stream_layers(cfg, None) == []
+    assert stream_layers(cfg, 32) == [5]
+    with pytest.raises(ValueError, match="stream_min_dil"):
+        stream_layers(cfg, 8)                 # below 4*STREAM_W
+    full = vmem_cost_bytes(cfg, 8, 4)
+    streamed = vmem_cost_bytes(cfg, 8, 4, stream_min_dil=32)
+    assert streamed < full
+    # tiny config fits resident outright
+    assert choose_stream_min_dil(cfg, 8, 4) == (None, True)
+    # the deep network at bf16/B=8 only fits WITH streaming
+    deep = ModelConfig.from_network_name("Rd10Rr3Ed4Er1")
+    thr, fits = choose_stream_min_dil(deep, 8, 32, "none")
+    assert fits and thr is not None
+    assert vmem_cost_bytes(deep, 8, 32, "none") >= VMEM_LIMIT
+    assert vmem_cost_bytes(deep, 8, 32, "none",
+                           stream_min_dil=thr) < VMEM_LIMIT
