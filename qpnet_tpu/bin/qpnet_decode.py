@@ -56,6 +56,21 @@ def get_arguments(argv=None):
     parser.add_argument("--n_devices", default=1, type=int,
                         help="shard the utterance batch over this many "
                              "devices (dp mesh); 1 = single chip")
+    parser.add_argument("--n_hosts", default=1, type=int,
+                        help="multi-host fan-out: run one qpnet_decode "
+                             "process per host with the same argv except "
+                             "--host_id; each takes the strided slice "
+                             "feat_list[host_id::n_hosts] (stride keeps "
+                             "sorted-by-length lists balanced).  Decoding "
+                             "has no cross-utterance dependency, so no "
+                             "coordinator/DCN collectives are needed — "
+                             "this is the TPU-native form of the "
+                             "reference's per-GPU process fan-out "
+                             "(qpnet_decode.py:322-331) across hosts; "
+                             "combine with --n_devices for the chips "
+                             "within each host")
+    parser.add_argument("--host_id", default=0, type=int,
+                        help="this process's index in [0, n_hosts)")
     parser.add_argument("--engine", default="auto",
                         choices=["auto", "pallas", "xla"])
     parser.add_argument("--quantize", default="none",
@@ -163,6 +178,20 @@ def main(argv=None):
         logging.error("--feats should be directory or list.")
         sys.exit(1)
     logging.info("number of utterances = %d", len(feat_list))
+    if args.n_hosts > 1:
+        if not 0 <= args.host_id < args.n_hosts:
+            logging.error("--host_id must be in [0, n_hosts)")
+            sys.exit(1)
+        # strided host shard: hosts write disjoint outputs (same contract
+        # as the reference's np.array_split over GPUs); each host's run is
+        # deterministic for its (list, host_id, n_hosts), and argmax-mode
+        # output is bit-identical to a single-host run of the full list
+        # (sampling mode keys its PRNG off within-batch indices, so
+        # composition affects the sampled streams — exactly like the
+        # reference's per-GPU split)
+        feat_list = feat_list[args.host_id::args.n_hosts]
+        logging.info("host %d/%d decodes %d utterances",
+                     args.host_id, args.n_hosts, len(feat_list))
 
     import jax
     import jax.numpy as jnp

@@ -487,6 +487,23 @@ def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
                  const_seed: bool = False,
                  b_offset: int = 0) -> np.ndarray:
     """Generation via the VMEM-resident mega-kernel (ops/gen_kernel.py)."""
+    from qpnet_tpu.ops.gen_kernel import choose_stream_min_dil
+    B_req = x_seed.shape[0]
+    # ring streaming DMAs (W, B, R) windows between HBM and VMEM, and
+    # Mosaic requires the sublane dim (B) of a sliced transfer to be
+    # 8-aligned — pad the batch up front (the VMEM cost model already
+    # charges the padded batch, so the fit decision is unchanged) by
+    # replicating the last utterance; padded rows are sliced off below.
+    # The counter PRNG keys off per-row indices, so real rows'
+    # streams are identical with and without the padding.
+    if (B_req % 8
+            and choose_stream_min_dil(cfg, B_req, maxd, quantize)[0]
+            is not None):
+        padB = (-B_req) % 8
+        x_seed = np.concatenate(
+            [x_seed, np.repeat(x_seed[-1:], padB, 0)], 0)
+        h = np.concatenate([h, np.repeat(h[-1:], padB, 0)], 0)
+        d = np.concatenate([d, np.repeat(d[-1:], padB, 0)], 0)
     h_pad, d_frames, n_pad_steps = _pallas_host_prep(cfg, h, d, n_steps)
     up = cfg.upsampling_factor
     chunk_steps = DECODE_CHUNK_FRAMES * up
@@ -500,7 +517,7 @@ def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
             maxd=maxd, n_steps=n_pad_steps, mode=mode, interpret=interpret,
             quantize=quantize, const_seed=const_seed)
         out = np.asarray(jax.device_get(out)).astype(np.int32)[:, 0, :]
-        return np.moveaxis(out, 0, 1)[:, :n_steps]
+        return np.moveaxis(out, 0, 1)[:B_req, :n_steps]
 
     # long utterance: full chunks with carried ring state + a bucketed
     # tail.  Ring slots, upsampler phase and the PRNG key off the ABSOLUTE
@@ -533,7 +550,7 @@ def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
         off += steps
     pieces = [np.asarray(p).astype(np.int32) for p in jax.device_get(pieces)]
     out = np.concatenate(pieces, axis=0)[:, 0, :]
-    return np.moveaxis(out, 0, 1)[:, :n_steps]
+    return np.moveaxis(out, 0, 1)[:B_req, :n_steps]
 
 
 def _pallas_mesh_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
@@ -920,8 +937,15 @@ def batch_fast_generate(params: Params, cfg: ModelConfig,
         # multi-chip decode: each utterance's AR chain is independent, so
         # the batch shards over the dp axis with replicated params — the
         # mesh-native form of the reference's per-GPU process fan-out
-        # (qpnet_decode.py:322-331)
+        # (qpnet_decode.py:322-331).  A batch not divisible by the mesh
+        # size pads by replicating the last utterance (padding rows are
+        # discarded below via n_samples_list's length).
         from qpnet_tpu.parallel import batch_sharding, replicated_sharding
+        pad = (-x_in.shape[0]) % int(mesh.devices.size)
+        if pad:
+            x_in = jnp.concatenate([x_in, jnp.repeat(x_in[-1:], pad, 0)], 0)
+            h_in = jnp.concatenate([h_in, jnp.repeat(h_in[-1:], pad, 0)], 0)
+            d_in = jnp.concatenate([d_in, jnp.repeat(d_in[-1:], pad, 0)], 0)
         repl = replicated_sharding(mesh)
         params = jax.device_put(params, repl)
         x_in = jax.device_put(x_in, batch_sharding(mesh, 2))

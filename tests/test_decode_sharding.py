@@ -129,3 +129,29 @@ def test_sharded_pallas_pads_ragged_batch():
                                   mesh=mesh)
     assert len(sharded) == B
     np.testing.assert_array_equal(np.stack(single), np.stack(sharded))
+
+
+def test_sharded_decode_pads_odd_batch():
+    """A batch not divisible by the mesh size (any list tail) pads by
+    replicating the last utterance and still matches the single-device
+    output row-for-row."""
+    cfg = ModelConfig(n_quantize=32, n_aux=4, n_resch=16, n_skipch=8,
+                      dilationF_depth=2, dilationF_repeat=1,
+                      dilationA_depth=2, dilationA_repeat=1,
+                      upsampling_factor=5)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    B, F = 3, 6
+    n = F * cfg.upsampling_factor - 1
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.full((B, F * cfg.upsampling_factor), 2.0, np.float32)
+    x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+
+    single = batch_fast_generate(params, cfg, x0, h, [n] * B, d, seed=3,
+                                 engine="xla", compute_dtype=jnp.float32,
+                                 mode="argmax")
+    mesh = make_mesh(2)
+    sharded = batch_fast_generate(params, cfg, x0, h, [n] * B, d, seed=3,
+                                  engine="xla", compute_dtype=jnp.float32,
+                                  mode="argmax", mesh=mesh)
+    np.testing.assert_array_equal(np.stack(single), np.stack(sharded))

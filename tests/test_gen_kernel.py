@@ -298,3 +298,37 @@ def test_stream_layer_selection_and_cost_model():
     assert vmem_cost_bytes(deep, 8, 32, "none") >= VMEM_LIMIT
     assert vmem_cost_bytes(deep, 8, 32, "none",
                            stream_min_dil=thr) < VMEM_LIMIT
+
+
+@pytest.mark.slow
+def test_streaming_pads_batch_to_sublane_multiple(monkeypatch):
+    """Mosaic requires the batch (sublane) dim of HBM<->VMEM ring window
+    transfers to be 8-aligned, so a streaming-active _pallas_path must
+    pad B=7 up to 8 (replicating the last row) and slice the pad back
+    off — bit-identical to the resident kernel's un-padded output (the
+    counter PRNG keys off row indices, so real rows never see the pad)."""
+    import qpnet_tpu.ops.gen_kernel as GK
+    from qpnet_tpu.models.generate import batch_fast_generate
+
+    cfg = deep_tiny_cfg()
+    B, F = 7, 6
+    n = F * cfg.upsampling_factor - 1
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.full((B, F * cfg.upsampling_factor), 2.5, np.float32)
+    x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+    kw = dict(seed=9, mode="sampling", engine="pallas", interpret=True)
+
+    resident = batch_fast_generate(params, cfg, x0, h, [n] * B, d, **kw)
+
+    calls = []
+
+    def force_stream(cfg_, B_, maxd_, quantize_="none"):
+        calls.append(B_)
+        return 32, True
+
+    monkeypatch.setattr(GK, "choose_stream_min_dil", force_stream)
+    streamed = batch_fast_generate(params, cfg, x0, h, [n] * B, d, **kw)
+    assert calls, "streaming chooser was never consulted"
+    np.testing.assert_array_equal(np.stack(resident), np.stack(streamed))

@@ -166,3 +166,99 @@ def test_preemption_syncs_across_hosts(tmp_path):
     assert os.path.exists(os.path.join(expdir, "checkpoint-4.pkl"))
     assert not os.path.exists(os.path.join(expdir, "checkpoint-final.pkl"))
     assert "preemption" in outs[0]
+
+
+DECODE_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo!r})
+    from qpnet_tpu.bin import qpnet_decode
+    qpnet_decode.main([
+        "--feats", {feat_scp!r}, "--stats", {stats!r},
+        "--config", {config!r}, "--outdir", {outdir!r},
+        "--checkpoint", {ckpt!r}, "--fs", "1000",
+        "--batch_size", "2", "--mode", "argmax",
+        "--dtype", "float32", "--engine", "xla",
+        "--n_devices", "2",
+        "--n_hosts", "2", "--host_id", {hid!r}, "--verbose", "0",
+    ])
+""")
+
+
+@pytest.mark.slow
+def test_two_process_decode_fanout(tmp_path):
+    """Multi-host decode scale-out: one qpnet_decode process per host,
+    each taking the strided slice feat_list[host_id::n_hosts] and
+    sharding its batches over its own local 2-device mesh — decoding has
+    no cross-utterance dependency, so there is no coordinator and no DCN
+    collective (the serving analogue is one qpnet_serve per host behind
+    a load balancer, docs/SERVING.md).  The two hosts must write disjoint
+    output sets whose union covers the corpus, and argmax decoding must
+    be bit-identical to a single-host run of the full list."""
+    import jax
+    import jax.numpy as jnp
+    from qpnet_tpu.config import ModelConfig, RunConfig
+    from qpnet_tpu.data.stats import calc_stats
+    from qpnet_tpu.models import init_params
+    from qpnet_tpu.train.checkpoint import save_final
+
+    _, feats = make_synthetic_corpus(str(tmp_path), n_utts=5, fs=1000,
+                                     up=10, n_aux=4)
+    feat_scp = str(tmp_path / "feat.scp")
+    with open(feat_scp, "w") as f:
+        f.write("\n".join(feats) + "\n")
+    stats = str(tmp_path / "stats.h5")
+    calc_stats(feats, stats)
+
+    cfg = ModelConfig(n_quantize=32, n_aux=4, n_resch=16, n_skipch=8,
+                      dilationF_depth=2, dilationF_repeat=1,
+                      dilationA_depth=2, dilationA_repeat=1,
+                      upsampling_factor=10)
+    run_cfg = RunConfig(model=cfg, fs=1000)
+    config = str(tmp_path / "model.conf")
+    run_cfg.save(config)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ckpt = save_final(str(tmp_path / "exp"), params)
+
+    # single-host full-list run (in this process) = the reference output
+    from qpnet_tpu.bin import qpnet_decode
+    outdir_ref = str(tmp_path / "ref")
+    qpnet_decode.main([
+        "--feats", feat_scp, "--stats", stats, "--config", config,
+        "--outdir", outdir_ref, "--checkpoint", ckpt, "--fs", "1000",
+        "--batch_size", "2", "--mode", "argmax", "--dtype", "float32",
+        "--engine", "xla", "--verbose", "0"])
+
+    outdirs = [str(tmp_path / f"host{hid}") for hid in range(2)]
+    procs = []
+    for hid in range(2):
+        code = DECODE_WORKER.format(repo=REPO, feat_scp=feat_scp,
+                                    stats=stats, config=config,
+                                    outdir=outdirs[hid], ckpt=ckpt,
+                                    hid=str(hid))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for hid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {hid} failed:\n{out[-4000:]}"
+
+    from scipy.io import wavfile
+    written = {}
+    for hid, od in enumerate(outdirs):
+        got = sorted(os.listdir(od))
+        # strided shard: host 0 -> utt0/2/4, host 1 -> utt1/3
+        want = sorted(f"utt{i}.wav" for i in range(hid, 5, 2))
+        assert got == want, (hid, got)
+        for name in got:
+            written[name] = os.path.join(od, name)
+    assert sorted(written) == [f"utt{i}.wav" for i in range(5)]
+    for name, path in written.items():
+        _, ref = wavfile.read(os.path.join(outdir_ref, name))
+        _, x = wavfile.read(path)
+        np.testing.assert_array_equal(x, ref, err_msg=name)
