@@ -51,6 +51,7 @@ def test_pipeline_forward_bitwise(rng, pp, n_dev, M):
         f"{float(jnp.max(jnp.abs(out - ref))):.3e}")
 
 
+@pytest.mark.slow
 def test_pipeline_forward_bf16_bitwise(rng):
     """Mixed precision pipelines too: the bf16 carry crosses stages
     exactly (ppermute moves bits, not values)."""
@@ -64,6 +65,7 @@ def test_pipeline_forward_bf16_bitwise(rng):
     assert bool(jnp.all(out == ref))
 
 
+@pytest.mark.slow
 def test_pipeline_train_step_parity(rng):
     """dp x pp gradients match the single-device step's per leaf, and 3
     optimizer steps track its loss trajectory.  (Updated *params* are not

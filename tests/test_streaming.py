@@ -48,6 +48,7 @@ def test_streaming_matches_one_shot():
     np.testing.assert_array_equal(streamed, one_shot)
 
 
+@pytest.mark.slow
 def test_variable_chunk_feeds_match_one_shot():
     """feed() accepts ANY whole-frame length: ring slots / upsampler
     phase / PRNG key off the absolute sample index, so an irregular chunk

@@ -102,11 +102,13 @@ def test_gradient_parity_f32():
                  rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_gradient_parity_f32_unaligned_T():
     _grad_parity(tiny_cfg(), B=1, T=192 + 32, seed=1, dtype=jnp.float32,
                  rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_gradient_parity_bf16():
     """bf16 mode: the fused kernel's gradient deviation from f32 truth must
     be no worse than the XLA bf16 step's own deviation (the kernel keeps z
@@ -148,6 +150,7 @@ def test_gradient_parity_bf16():
             f"{name}: pallas {e_pal[name]:.2e} vs xla-bf16 {e_xla[name]:.2e}"
 
 
+@pytest.mark.slow
 def test_loss_trajectory_bf16_tracks_f32():
     """bf16 fused-kernel training stays as close to the f32 trajectory as
     bf16 XLA training does (the round-2 bf16-adoption criterion, now
@@ -188,6 +191,7 @@ def test_gradient_parity_deep_dilations():
                  rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_gradient_parity_forced_two_chunks(monkeypatch):
     """Explicitly exercise the chunk chaining (do boundary between bwd
     kernel calls)."""
@@ -247,6 +251,7 @@ def test_adaptive_fused_gradient_parity_f32():
             f"{name}: rel {err:.2e}"
 
 
+@pytest.mark.slow
 def test_adaptive_fused_large_lookback_gradient():
     """Look-backs spanning multiple tiles (maxd*dil > TILE) exercise the
     multi-block history rebuild + carry shifting in the backward."""
