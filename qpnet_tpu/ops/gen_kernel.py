@@ -314,14 +314,26 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
             # primed buffers live in HBM (keeping them VMEM-resident would
             # double the ring-buffer footprint); one DMA per resident span
             # at step 0 (streamed layers stay in HBM: only their first
-            # window(s) stage in)
-            for hbm_off, vmem_off, length in res_runs:
-                cp = pltpu.make_async_copy(
-                    bufF0_ref.at[pl.ds(hbm_off, length)],
-                    bufF.at[pl.ds(vmem_off, length)],
-                    init_sems.at[0])
+            # window(s) stage in).  Without streaming the single span is
+            # the WHOLE buffer — copy by full ref, not a slice: Mosaic
+            # requires sliced HBM transfers to have an 8-aligned batch
+            # dim, and resident-only kernels must keep supporting any B
+            # (the reference decodes at batch 20 and the deep net at 7).
+            # Streaming kernels never see unaligned B: the caller pads
+            # the batch to a sublane multiple (generate._pallas_path).
+            if not n_s:
+                cp = pltpu.make_async_copy(bufF0_ref, bufF,
+                                           init_sems.at[0])
                 cp.start()
                 cp.wait()
+            else:
+                for hbm_off, vmem_off, length in res_runs:
+                    cp = pltpu.make_async_copy(
+                        bufF0_ref.at[pl.ds(hbm_off, length)],
+                        bufF.at[pl.ds(vmem_off, length)],
+                        init_sems.at[0])
+                    cp.start()
+                    cp.wait()
             cp2 = pltpu.make_async_copy(bufA0_ref, bufA, init_sems.at[1])
             cp2.start()
             cp2.wait()
@@ -488,14 +500,21 @@ def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
             @pl.when(t == n_total - 1)
             def _export_state():
                 # stream the final ring state back to HBM so a follow-up chunk
-                # can continue exactly where this one stopped
-                for hbm_off, vmem_off, length in res_runs:
-                    cp = pltpu.make_async_copy(
-                        bufF.at[pl.ds(vmem_off, length)],
-                        bufF_out_ref.at[pl.ds(hbm_off, length)],
-                        init_sems.at[0])
+                # can continue exactly where this one stopped (full-ref copy
+                # when nothing is streamed — see _init on slice alignment)
+                if not n_s:
+                    cp = pltpu.make_async_copy(bufF, bufF_out_ref,
+                                               init_sems.at[0])
                     cp.start()
                     cp.wait()
+                else:
+                    for hbm_off, vmem_off, length in res_runs:
+                        cp = pltpu.make_async_copy(
+                            bufF.at[pl.ds(vmem_off, length)],
+                            bufF_out_ref.at[pl.ds(hbm_off, length)],
+                            init_sems.at[0])
+                        cp.start()
+                        cp.wait()
                 cp2 = pltpu.make_async_copy(bufA, bufA_out_ref, init_sems.at[1])
                 cp2.start()
                 cp2.wait()
@@ -614,8 +633,16 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
     U = 2 if up % 2 == 0 else 1   # samples per grid step (matches kernel)
     if stream_min_dil == "auto":
         # deterministic function of static shapes: every shard / call
-        # site resolves to the same level, so callers need no plumbing
-        stream_min_dil = choose_stream_min_dil(cfg, B, maxd, quantize)[0]
+        # site resolves to the same level, so callers need no plumbing.
+        # QPNET_STREAM_MIN_DIL forces a level for perf/VMEM triage
+        # ("none" = fully resident).
+        import os
+        forced = os.environ.get("QPNET_STREAM_MIN_DIL")
+        if forced:
+            stream_min_dil = None if forced == "none" else int(forced)
+        else:
+            stream_min_dil = choose_stream_min_dil(cfg, B, maxd,
+                                                   quantize)[0]
     kernel = _make_kernel(cfg, B, maxd, mode, interpret, quantize,
                           stream_min_dil)
     nF, nA = len(cfg.dilationsF), len(cfg.dilationsA)
