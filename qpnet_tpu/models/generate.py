@@ -1087,6 +1087,16 @@ class StreamingGenerator:
         self.chunk = -(-min_chunk_samples // up) * up
         self.chunk_frames = self.chunk // up
         self.aux_pad = AUX_PAD
+        # streaming-active kernels (deep nets) DMA (W, B, R) ring windows
+        # between HBM and VMEM, and Mosaic requires the batch dim of a
+        # sliced transfer to be 8-aligned — run the kernel at a padded
+        # internal batch (serving groups pad to powers of two, so B can
+        # be 1/2/4) and slice the pad off in feed().  Same invariant as
+        # _pallas_path; the VMEM cost model already charges the padded
+        # batch, so the fit decision is unchanged.
+        from qpnet_tpu.ops.gen_kernel import choose_stream_min_dil
+        thr, _ = choose_stream_min_dil(cfg, B, maxd, quantize)
+        self._kB = B if (thr is None or B % 8 == 0) else B + (-B) % 8
         with self._on_device():
             self._packed = pack_weights(params, cfg, quantize=quantize)
         self._params = params
@@ -1114,9 +1124,13 @@ class StreamingGenerator:
         # one jitted dispatch: priming eagerly runs ~100 small ops, each
         # paying this deployment's host<->device round trip — measured
         # ~275 ms of a group's time-to-first-audio before this was fused
+        if self._kB != self.B:
+            pad = self._kB - self.B
+            h_first_frame = np.concatenate(
+                [h_first_frame, np.repeat(h_first_frame[-1:], pad, 0)], 0)
         self._state = _streaming_prime(self._params, self.cfg,
                                        jnp.asarray(h_first_frame),
-                                       self.B, self.maxd)
+                                       self._kB, self.maxd)
 
     def feed(self, h_frames: np.ndarray, d_frames: np.ndarray) -> np.ndarray:
         """h_frames: (B, F, n_aux) standardized aux; d_frames: (B, F)
@@ -1138,10 +1152,15 @@ class StreamingGenerator:
                 f"dilation factor {float(np.max(d_frames)):.1f} exceeds the "
                 f"session's maxd={self.maxd}; recreate the session with a "
                 f"larger maxd (ring look-backs would silently saturate)")
-        h_pad = np.zeros((F, B, self.aux_pad), np.float32)
-        h_pad[:, :, : cfg.n_aux] = np.moveaxis(h_frames, 0, 1)
-        d_pad = np.moveaxis(
-            np.asarray(d_frames, np.float32), 0, 1)[:, None, :]
+        kB = self._kB
+        h_pad = np.zeros((F, kB, self.aux_pad), np.float32)
+        h_pad[:, :B, : cfg.n_aux] = np.moveaxis(h_frames, 0, 1)
+        d_pad = np.ones((F, 1, kB), np.float32)
+        d_pad[:, 0, :B] = np.moveaxis(np.asarray(d_frames, np.float32),
+                                      0, 1)
+        if kB != B:
+            h_pad[:, B:] = h_pad[:, B - 1:B]
+            d_pad[:, :, B:] = d_pad[:, :, B - 1:B]
         n_steps = F * cfg.upsampling_factor
         with self._on_device():
             if self._state is None:
@@ -1150,10 +1169,10 @@ class StreamingGenerator:
             samples, bufF, bufA, x0 = pallas_generate(
                 self._packed, cfg, bufF, bufA, x0,
                 jnp.asarray(h_pad, jnp.bfloat16), jnp.asarray(d_pad),
-                self.seed, B=B, maxd=self.maxd, n_steps=n_steps,
+                self.seed, B=kB, maxd=self.maxd, n_steps=n_steps,
                 mode=self.mode, interpret=self.interpret,
                 quantize=self.quantize, step_offset=self._offset)
         self._state = (bufF, bufA, x0)
         self._offset += n_steps
-        return np.moveaxis(np.asarray(jax.device_get(samples))[:, 0, :],
+        return np.moveaxis(np.asarray(jax.device_get(samples))[:, 0, :B],
                            0, 1)

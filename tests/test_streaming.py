@@ -147,3 +147,45 @@ def test_chunked_decode_path_matches_one_shot(monkeypatch):
                                     seed=11, engine="pallas",
                                     interpret=True)
     np.testing.assert_array_equal(np.stack(one_shot), np.stack(chunked))
+
+
+@pytest.mark.slow
+def test_small_group_streamed_session_pads_batch(monkeypatch):
+    """Serving groups pad to powers of two, so a session batch can be
+    1/2/4 — below the 8-row sublane alignment Mosaic requires for a
+    streaming-active kernel's HBM ring windows.  With streaming forced
+    on, a B=2 session must transparently run its kernel at a padded
+    internal batch and produce exactly the un-streamed session's
+    samples (chunked, across window boundaries)."""
+    import qpnet_tpu.ops.gen_kernel as GK
+
+    cfg = ModelConfig(n_quantize=32, n_aux=4, n_resch=16, n_skipch=8,
+                      dilationF_depth=6, dilationF_repeat=1,
+                      dilationA_depth=2, dilationA_repeat=1,
+                      kernel_size=2, upsampling_factor=10)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    B, maxd = 2, 4
+    F_chunk, n_chunks = 4, 3
+    F = F_chunk * n_chunks
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.full((B, F), 2.5, np.float32)
+
+    def run():
+        sess = StreamingGenerator(params, cfg, B, maxd=maxd,
+                                  mode="sampling",
+                                  min_chunk_samples=F_chunk * 10,
+                                  interpret=True)
+        out = [sess.feed(h[:, c * F_chunk:(c + 1) * F_chunk],
+                         d[:, c * F_chunk:(c + 1) * F_chunk])
+               for c in range(n_chunks)]
+        return sess, np.concatenate(out, axis=1)
+
+    ref_sess, ref = run()
+    assert ref_sess._kB == B        # resident: no padding
+
+    monkeypatch.setattr(GK, "choose_stream_min_dil",
+                        lambda *a, **k: (32, True))
+    got_sess, got = run()
+    assert got_sess._kB == 8        # streamed: padded to the sublane
+    np.testing.assert_array_equal(got, ref)
