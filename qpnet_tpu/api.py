@@ -151,7 +151,14 @@ class Vocoder:
         # be <= 1.0 is indistinguishable from a silent normalized clip,
         # so pre-scale such input
         if was_integer and in_dtype != np.int16:
-            x = x * (32768.0 / (float(np.iinfo(in_dtype).max) + 1.0))
+            info = np.iinfo(in_dtype)
+            if info.min == 0:
+                # unsigned PCM is offset-binary (uint8 silence = 128):
+                # remove the midpoint bias before rescaling, else the
+                # whole clip arrives with a huge DC offset
+                x = x - (float(info.max) + 1.0) / 2.0
+            x = x * (32768.0 / ((float(info.max) + 1.0)
+                                / (2.0 if info.min == 0 else 1.0)))
         elif not was_integer and np.abs(x).max() <= 1.0:
             x = x * 32768.0
         if ac.highpass_cutoff:

@@ -487,7 +487,7 @@ def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
                  const_seed: bool = False,
                  b_offset: int = 0) -> np.ndarray:
     """Generation via the VMEM-resident mega-kernel (ops/gen_kernel.py)."""
-    from qpnet_tpu.ops.gen_kernel import choose_stream_min_dil
+    from qpnet_tpu.ops.gen_kernel import resolve_stream_min_dil
     B_req = x_seed.shape[0]
     # ring streaming DMAs (W, B, R) windows between HBM and VMEM, and
     # Mosaic requires the sublane dim (B) of a sliced transfer to be
@@ -497,7 +497,7 @@ def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
     # The counter PRNG keys off per-row indices, so real rows'
     # streams are identical with and without the padding.
     if (B_req % 8
-            and choose_stream_min_dil(cfg, B_req, maxd, quantize)[0]
+            and resolve_stream_min_dil(cfg, B_req, maxd, quantize)
             is not None):
         padB = (-B_req) % 8
         x_seed = np.concatenate(
@@ -563,10 +563,24 @@ def _pallas_mesh_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
     sub_B > 0 additionally splits each chip's slice into balanced
     sub-batches."""
     from qpnet_tpu.parallel import batch_sharding, replicated_sharding
+    from qpnet_tpu.ops.gen_kernel import resolve_stream_min_dil
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     B = h.shape[0]
     B_pad = -(-B // n_dev) * n_dev
+    # ring-streaming kernels (deep nets) need the PER-CHIP batch 8-aligned
+    # for the HBM<->VMEM window DMAs (same invariant as _pallas_path) —
+    # padding only to the mesh size can leave local_B % 8 != 0 (e.g.
+    # n_dev=4, B=20 -> local_B=5).  Each chip's slice runs either whole
+    # (local_B) or in sub_B sub-batches (a multiple of 8 by construction,
+    # balanced_slice/choose_pallas_sub_batch), so aligning local_B covers
+    # both shapes the kernel actually runs at.
+    local_B0 = B_pad // n_dev
+    kernel_B = sub_B if 0 < sub_B < local_B0 else local_B0
+    if (kernel_B % 8
+            and resolve_stream_min_dil(cfg, kernel_B, maxd, quantize)
+            is not None):
+        B_pad = -(-local_B0 // 8) * 8 * n_dev
     if B_pad != B:
         pad = B_pad - B
         x_seed = np.concatenate([x_seed, np.repeat(x_seed[-1:], pad, 0)], 0)
@@ -1094,8 +1108,8 @@ class StreamingGenerator:
         # be 1/2/4) and slice the pad off in feed().  Same invariant as
         # _pallas_path; the VMEM cost model already charges the padded
         # batch, so the fit decision is unchanged.
-        from qpnet_tpu.ops.gen_kernel import choose_stream_min_dil
-        thr, _ = choose_stream_min_dil(cfg, B, maxd, quantize)
+        from qpnet_tpu.ops.gen_kernel import resolve_stream_min_dil
+        thr = resolve_stream_min_dil(cfg, B, maxd, quantize)
         self._kB = B if (thr is None or B % 8 == 0) else B + (-B) % 8
         with self._on_device():
             self._packed = pack_weights(params, cfg, quantize=quantize)

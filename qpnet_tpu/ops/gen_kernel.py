@@ -220,6 +220,22 @@ def choose_stream_min_dil(cfg: ModelConfig, B: int, maxd: int,
     return None, False
 
 
+def resolve_stream_min_dil(cfg: ModelConfig, B: int, maxd: int,
+                           quantize: str = "none"):
+    """The streaming level pallas_generate will ACTUALLY run at: the
+    QPNET_STREAM_MIN_DIL env override (perf/VMEM triage; "none" = fully
+    resident) when set, else choose_stream_min_dil's pick.  Every
+    batch-padding decision (_pallas_path, _pallas_mesh_path,
+    StreamingGenerator) resolves through here, so a forced level can
+    never skew the caller's 8-alignment padding away from the kernel's
+    real DMA behavior."""
+    import os
+    forced = os.environ.get("QPNET_STREAM_MIN_DIL")
+    if forced:
+        return None if forced == "none" else int(forced)
+    return choose_stream_min_dil(cfg, B, maxd, quantize)[0]
+
+
 def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                  interpret: bool = False, quantize: str = "none",
                  stream_min_dil=None):
@@ -633,16 +649,21 @@ def pallas_generate(packed: Dict[str, Any], cfg: ModelConfig,
     U = 2 if up % 2 == 0 else 1   # samples per grid step (matches kernel)
     if stream_min_dil == "auto":
         # deterministic function of static shapes: every shard / call
-        # site resolves to the same level, so callers need no plumbing.
-        # QPNET_STREAM_MIN_DIL forces a level for perf/VMEM triage
-        # ("none" = fully resident).
-        import os
-        forced = os.environ.get("QPNET_STREAM_MIN_DIL")
-        if forced:
-            stream_min_dil = None if forced == "none" else int(forced)
-        else:
-            stream_min_dil = choose_stream_min_dil(cfg, B, maxd,
-                                                   quantize)[0]
+        # site resolves to the same level, so callers need no plumbing
+        # (env override included — see resolve_stream_min_dil)
+        stream_min_dil = resolve_stream_min_dil(cfg, B, maxd, quantize)
+    if stream_min_dil is not None and B % 8 and not interpret:
+        # streamed rings DMA (W, B, R) windows between HBM and VMEM and
+        # Mosaic requires the sublane dim of a sliced transfer to be
+        # 8-aligned; callers that resolve the level through
+        # resolve_stream_min_dil pad the batch before getting here
+        # (interpret mode simulates the DMAs, so unaligned B is fine
+        # there — the bit-identity tests run streamed kernels at B=3)
+        raise ValueError(
+            f"ring streaming (stream_min_dil={stream_min_dil}) requires "
+            f"the kernel batch to be a multiple of 8, got B={B}; pad the "
+            "batch (see _pallas_path) or resolve the level via "
+            "resolve_stream_min_dil before calling")
     kernel = _make_kernel(cfg, B, maxd, mode, interpret, quantize,
                           stream_min_dil)
     nF, nA = len(cfg.dilationsF), len(cfg.dilationsA)

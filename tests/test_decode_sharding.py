@@ -155,3 +155,50 @@ def test_sharded_decode_pads_odd_batch():
                                   engine="xla", compute_dtype=jnp.float32,
                                   mode="argmax", mesh=mesh)
     np.testing.assert_array_equal(np.stack(single), np.stack(sharded))
+
+
+def test_sharded_streaming_pads_local_batch_to_sublane(monkeypatch):
+    """Ring-streaming-active mesh decode must pad so the PER-CHIP batch is
+    8-aligned (Mosaic HBM<->VMEM window DMAs), not just a multiple of the
+    mesh size: n_dev=4 with B=20 gives local_B=5, which the compiled
+    kernel would reject — the mesh path pads B to 32 (8/chip) and slices
+    the pad off, bit-identical to the single-chip engine."""
+    assert len(jax.devices()) == 8
+    import qpnet_tpu.ops.gen_kernel as GK
+    from qpnet_tpu.models import generate as G
+
+    cfg = ModelConfig(n_quantize=32, n_aux=4, n_resch=16, n_skipch=8,
+                      dilationF_depth=6, dilationF_repeat=1,
+                      dilationA_depth=2, dilationA_repeat=1,
+                      kernel_size=2, upsampling_factor=4)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    B, F = 20, 6
+    n = F * cfg.upsampling_factor - 1
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.full((B, F * cfg.upsampling_factor), 2.0, np.float32)
+    x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+
+    monkeypatch.setattr(GK, "choose_stream_min_dil",
+                        lambda *a, **k: (32, True))
+
+    single = batch_fast_generate(params, cfg, x0, h, [n] * B, d, seed=13,
+                                 engine="pallas", interpret=True)
+
+    seen = {}
+    real_sharded = G._pallas_sharded_path
+
+    def spy_sharded(params_, cfg_, x_seed, *args, **kw):
+        seen["B_pad"] = x_seed.shape[0]
+        return real_sharded(params_, cfg_, x_seed, *args, **kw)
+
+    monkeypatch.setattr(G, "_pallas_sharded_path", spy_sharded)
+    mesh = make_mesh(4)
+    sharded = batch_fast_generate(params, cfg, x0, h, [n] * B, d, seed=13,
+                                  engine="pallas", interpret=True,
+                                  mesh=mesh)
+    assert seen["B_pad"] == 32, (
+        f"streaming-active mesh decode must pad to 8 per chip, ran at "
+        f"global batch {seen.get('B_pad')}")
+    assert len(sharded) == B
+    np.testing.assert_array_equal(np.stack(single), np.stack(sharded))

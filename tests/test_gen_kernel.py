@@ -332,3 +332,60 @@ def test_streaming_pads_batch_to_sublane_multiple(monkeypatch):
     streamed = batch_fast_generate(params, cfg, x0, h, [n] * B, d, **kw)
     assert calls, "streaming chooser was never consulted"
     np.testing.assert_array_equal(np.stack(resident), np.stack(streamed))
+
+
+def test_env_forced_streaming_still_pads_batch(monkeypatch):
+    """QPNET_STREAM_MIN_DIL forces a streaming level inside pallas_generate;
+    the caller-side batch padding must see the SAME resolved level (shared
+    resolve_stream_min_dil helper) — forcing streaming on a B=7 decode
+    must run the kernel at a padded B=8, not hit the Mosaic 8-alignment
+    failure the padding exists to prevent."""
+    import qpnet_tpu.ops.gen_kernel as GK
+    from qpnet_tpu.models.generate import batch_fast_generate
+
+    cfg = deep_tiny_cfg()
+    B, F = 7, 6
+    n = F * cfg.upsampling_factor - 1
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(6)
+    h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32)
+    d = np.full((B, F * cfg.upsampling_factor), 2.5, np.float32)
+    x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+    kw = dict(seed=9, mode="sampling", engine="pallas", interpret=True)
+
+    baseline = batch_fast_generate(params, cfg, x0, h, [n] * B, d, **kw)
+
+    monkeypatch.setenv("QPNET_STREAM_MIN_DIL", "32")
+    import qpnet_tpu.models.generate as G
+    seen = {}
+    real_prep = G._pallas_host_prep
+
+    def spy_prep(cfg_, h_, d_, n_steps_):
+        seen["B"] = h_.shape[0]
+        return real_prep(cfg_, h_, d_, n_steps_)
+
+    monkeypatch.setattr(G, "_pallas_host_prep", spy_prep)
+    forced = batch_fast_generate(params, cfg, x0, h, [n] * B, d, **kw)
+    assert seen["B"] == 8, (
+        "env-forced streaming must pad B=7 to the 8-sublane multiple "
+        f"(got kernel batch {seen.get('B')})")
+    np.testing.assert_array_equal(np.stack(baseline), np.stack(forced))
+
+
+def test_pallas_generate_rejects_unaligned_forced_streaming():
+    """A direct pallas_generate call with streaming active and B % 8 != 0
+    must fail with a clear error on the compiled path (interpret mode is
+    exempt: it simulates the DMAs)."""
+    from qpnet_tpu.ops.gen_kernel import pallas_generate
+
+    cfg = deep_tiny_cfg()
+    B, maxd, F = 3, 4, 2
+    packed, bufF, bufA, x0, h_pad, d_frames = _streamed_inputs(
+        cfg, B, maxd, F)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        pallas_generate(packed, cfg, bufF, bufA, x0,
+                        jnp.asarray(h_pad, jnp.bfloat16),
+                        jnp.asarray(d_frames), 7, B=B, maxd=maxd,
+                        mode="sampling", interpret=False, quantize="none",
+                        n_steps=F * cfg.upsampling_factor,
+                        stream_min_dil=32)
