@@ -84,7 +84,8 @@ def serve_bench(args, cfg, params):
 
     svc = StreamingService(params, cfg, max_streams=max(args.streams, 1),
                            maxd=32, gather_window_s=0.25, mode=args.mode,
-                           seed=100, first_chunk_samples=args.first_chunk)
+                           seed=100, first_chunk_samples=args.first_chunk,
+                           quantize=args.quantize)
     srv = serve_tcp(svc, port=0)
     addr = srv.server_address
     rng = np.random.default_rng(0)

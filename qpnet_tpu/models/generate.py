@@ -507,7 +507,15 @@ def _pallas_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
     h_pad, d_frames, n_pad_steps = _pallas_host_prep(cfg, h, d, n_steps)
     up = cfg.upsampling_factor
     chunk_steps = DECODE_CHUNK_FRAMES * up
-    if n_pad_steps <= chunk_steps:
+    # the fused single-jit program is only admitted under the measured
+    # batch ceiling (fused_batch_ok); batch_fast_generate already splits
+    # oversized batches before getting here, so this guard only trips for
+    # direct callers — who get the standalone-kernel chunked path below,
+    # measured safe at batches the fused program crashes at (interpret
+    # mode simulates, no crash surface)
+    fused_ok = interpret or _fused_batch_ok(
+        cfg, x_seed.shape[0], maxd, quantize)
+    if n_pad_steps <= chunk_steps and fused_ok:
         # single fused jit (prologue + kernel): the common case and the
         # lowest-overhead one
         out = _pallas_device_path(
@@ -577,6 +585,12 @@ def _pallas_mesh_path(params: Params, cfg: ModelConfig, x_seed: np.ndarray,
     # both shapes the kernel actually runs at.
     local_B0 = B_pad // n_dev
     kernel_B = sub_B if 0 < sub_B < local_B0 else local_B0
+    # per-shard kernels run as fused prologue+kernel programs, so the
+    # measured fused-batch ceiling applies per chip; batch_fast_generate
+    # passes a safe sub_B, this covers direct callers
+    if not interpret and not _fused_batch_ok(cfg, kernel_B, maxd, quantize):
+        sub_B = choose_pallas_sub_batch(cfg, local_B0, maxd, quantize)
+        kernel_B = sub_B if 0 < sub_B < local_B0 else local_B0
     if (kernel_B % 8
             and resolve_stream_min_dil(cfg, kernel_B, maxd, quantize)
             is not None):
@@ -612,24 +626,13 @@ def choose_stream_min_dil(cfg: ModelConfig, B: int, maxd: int,
     return _c(cfg, B, maxd, quantize)
 
 
-def _min_vmem_cost(cfg: ModelConfig, B: int, maxd: int,
-                   quantize: str = "none") -> int:
-    """Resident VMEM bytes at the streaming level choose_stream_min_dil
-    would pick (the batch-size chooser must see the same budget the
-    kernel will actually run with)."""
-    from qpnet_tpu.ops.gen_kernel import vmem_cost_bytes
-    thr, fits = choose_stream_min_dil(cfg, B, maxd, quantize)
-    if not fits:
-        # no level fits: report the most-streamed cost (still over budget)
-        from qpnet_tpu.ops.gen_kernel import STREAM_W
-        thrs = [d for d in cfg.dilationsF
-                if d >= 4 * STREAM_W and d % STREAM_W == 0]
-        thr = min(thrs) if thrs else None
-    if thr is None:
-        # keep the 4-arg call form: tests monkeypatch vmem_cost_bytes
-        # with simple stand-ins
-        return vmem_cost_bytes(cfg, B, maxd, quantize)
-    return vmem_cost_bytes(cfg, B, maxd, quantize, stream_min_dil=thr)
+def _fused_batch_ok(cfg: ModelConfig, B: int, maxd: int,
+                    quantize: str = "none") -> bool:
+    """Re-export of ops.gen_kernel.fused_batch_ok: whether the fused
+    single-jit program (prologue + kernel) is admitted at kernel batch B
+    — the VMEM fit AND the measured streamed-bf16 fused-batch ceiling."""
+    from qpnet_tpu.ops.gen_kernel import fused_batch_ok
+    return fused_batch_ok(cfg, B, maxd, quantize)
 
 
 def pallas_engine_available(cfg: ModelConfig, B: int, maxd: int,
@@ -639,7 +642,7 @@ def pallas_engine_available(cfg: ModelConfig, B: int, maxd: int,
     platform = jax.devices()[0].platform
     if platform not in ("tpu", "axon"):
         return False
-    return choose_stream_min_dil(cfg, B, maxd, quantize)[1]
+    return _fused_batch_ok(cfg, B, maxd, quantize)
 
 
 # throughput-optimal kernel batch: per-step cost rises with B well before
@@ -666,19 +669,21 @@ def choose_pallas_sub_batch(cfg: ModelConfig, B: int, maxd: int,
     Returns 0 if not even one utterance fits.
 
     Filling VMEM to the brim is the wrong objective — a 128-utterance
-    batch sliced as 2x120 padded slots runs at half the rate of 2x64."""
-    from qpnet_tpu.ops.gen_kernel import VMEM_LIMIT
-    if _min_vmem_cost(cfg, B, maxd, quantize) < VMEM_LIMIT:
+    batch sliced as 2x120 padded slots runs at half the rate of 2x64.
+    Admission per slice is fused_batch_ok: the VMEM fit plus the measured
+    streamed-bf16 fused-program batch ceiling (bf16 deep-net B=16 crashed
+    the TPU worker; B=8 slices also measure faster — BENCH_NOTES.md)."""
+    if _fused_batch_ok(cfg, B, maxd, quantize):
         return B
     largest_fit = 0
     for sub in range((B - 1) // 8 * 8, 0, -8):
-        if _min_vmem_cost(cfg, sub, maxd, quantize) < VMEM_LIMIT:
+        if _fused_batch_ok(cfg, sub, maxd, quantize):
             largest_fit = sub
             break
     if not largest_fit:
         # no multiple of 8 fits (or B <= 8): largest size that does
         for sub in range(min(7, B - 1), 0, -1):
-            if _min_vmem_cost(cfg, sub, maxd, quantize) < VMEM_LIMIT:
+            if _fused_batch_ok(cfg, sub, maxd, quantize):
                 return sub
         return 0
     cap = min(largest_fit, PALLAS_OPT_BATCH)

@@ -236,6 +236,41 @@ def resolve_stream_min_dil(cfg: ModelConfig, B: int, maxd: int,
     return choose_stream_min_dil(cfg, B, maxd, quantize)[0]
 
 
+# Measured fused-program batch ceiling for streamed bf16 kernels (v5e,
+# round 5).  The single-jit decode program that fuses the priming prologue
+# with the kernel (models/generate.py::_pallas_device_path) crashes the
+# TPU worker at bf16 Rd10Rr3Ed4Er1 B=16 — deterministically, at EVERY
+# streaming level including the maximum (thr=32) — while the SAME kernel
+# runs correctly standalone (the chunked path benches 224k samples/s at
+# B=16) and the fused program runs correctly at B=8 (283k).  The kernel's
+# scoped-VMEM estimate cannot discriminate (w8a8 B=64 runs fine at a
+# HIGHER estimate, 125.8 vs B=16-bf16's 122.2 MiB minimum), so the
+# overcommit is XLA's, in the fused executable, on top of Mosaic's scoped
+# region — reachable only when streaming is active WITHOUT w8a8's halved
+# resident weight set.  Admission therefore caps the FUSED batch at the
+# measured-safe 8; callers split larger batches into B=8 slices, which
+# also measure FASTER than one B=16 program (2 x 283k vs 224k).  See
+# BENCH_NOTES.md "Deep network" for the measurement table.
+STREAM_BF16_FUSED_MAX_B = 8
+
+
+def fused_batch_ok(cfg: ModelConfig, B: int, maxd: int,
+                   quantize: str = "none") -> bool:
+    """Whether the fused single-jit decode program (priming prologue +
+    kernel in one XLA executable) is admitted at kernel batch B: the
+    kernel must fit its VMEM budget AND, when ring streaming is active in
+    bf16, B must not exceed the measured STREAM_BF16_FUSED_MAX_B ceiling.
+    Standalone kernel calls (the chunked decode path, StreamingGenerator
+    serving sessions) are NOT subject to the ceiling — they carry no
+    fused prologue and run correctly at larger batches."""
+    if not choose_stream_min_dil(cfg, B, maxd, quantize)[1]:
+        return False
+    level = resolve_stream_min_dil(cfg, B, maxd, quantize)
+    if level is None or quantize == "w8a8":
+        return True
+    return B <= STREAM_BF16_FUSED_MAX_B
+
+
 def _make_kernel(cfg: ModelConfig, B: int, maxd: int, mode: str,
                  interpret: bool = False, quantize: str = "none",
                  stream_min_dil=None):

@@ -300,6 +300,65 @@ def test_stream_layer_selection_and_cost_model():
                            stream_min_dil=thr) < VMEM_LIMIT
 
 
+def test_fused_batch_ceiling_rejects_the_measured_crash_config():
+    """The fused single-jit decode program (prologue + kernel in one XLA
+    executable) crashed the TPU worker at streamed bf16 deep-net B=16 at
+    EVERY streaming level, while the standalone kernel runs the same
+    shape correctly (BENCH_NOTES 'Deep network').  Admission must reject
+    exactly the fused crash configs and keep every measured-good one."""
+    from qpnet_tpu.ops.gen_kernel import fused_batch_ok
+    from qpnet_tpu.models.generate import choose_pallas_sub_batch
+
+    deep = ModelConfig.from_network_name("Rd10Rr3Ed4Er1")
+    dflt = ModelConfig.from_network_name("default")
+    assert not fused_batch_ok(deep, 16, 32, "none")   # measured crash
+    assert not fused_batch_ok(deep, 9, 32, "none")    # pads to 16
+    assert fused_batch_ok(deep, 8, 32, "none")        # measured ok (283k)
+    assert fused_batch_ok(deep, 7, 32, "none")        # reference batch
+    assert fused_batch_ok(deep, 64, 32, "w8a8")       # measured ok (686k)
+    assert not fused_batch_ok(deep, 96, 32, "w8a8")   # VMEM no-fit
+    assert fused_batch_ok(dflt, 120, 32, "none")      # fully resident
+    # oversized bf16 deep batches split into measured-safe B=8 slices
+    # (2 x 283k beats the 224k one chunked B=16 program measures)
+    assert choose_pallas_sub_batch(deep, 16, 32, "none") == 8
+    assert choose_pallas_sub_batch(deep, 64, 32, "w8a8") == 64
+
+
+def test_bf16_deep_net_oversize_batch_routes_to_safe_slices(monkeypatch):
+    """qpnet_decode --batch_size 16 on the bf16 deep net must route into
+    B=8 pallas slices (the measured-safe, faster shape), never the fused
+    B=16 program that crashes the worker and never the 3x-slower scan."""
+    from qpnet_tpu.models import generate as G
+
+    calls = {}
+
+    def fake_split(params, cfg, x_seed, h, d_gen, n_samples_list, maxd,
+                   seed, mode, interpret, quantize, const_seed, sub_B):
+        calls["sub_B"] = sub_B
+        return [np.zeros(n, np.int32) for n in n_samples_list]
+
+    def boom(*a, **k):
+        raise AssertionError("fused single-call path must not be taken")
+
+    monkeypatch.setattr(G, "_pallas_split_path", fake_split)
+    monkeypatch.setattr(G, "_pallas_path", boom)
+    monkeypatch.setattr(G, "_generate_scan", boom)  # the scan engine
+    monkeypatch.setattr(
+        jax, "devices",
+        lambda *a, **k: [type("D", (), {"platform": "tpu"})()])
+
+    cfg = ModelConfig.from_network_name("Rd10Rr3Ed4Er1")
+    B, F = 16, 2
+    up = cfg.upsampling_factor
+    h = np.zeros((B, F, cfg.n_aux), np.float32)
+    d = np.full((B, F * up), 23.0, np.float32)   # buckets to maxd=32
+    x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+    out = G.batch_fast_generate(
+        np.zeros(0), cfg, x0, h, [F * up - 1] * B, d, seed=1)
+    assert calls["sub_B"] == 8
+    assert len(out) == B
+
+
 @pytest.mark.slow
 def test_streaming_pads_batch_to_sublane_multiple(monkeypatch):
     """Mosaic requires the batch (sublane) dim of HBM<->VMEM ring window

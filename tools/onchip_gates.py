@@ -7,20 +7,28 @@ kernel's math but not its Mosaic lowering.  Gate A here runs the
 COMPILED kernel (real `pallas_call` on the chip) against the torch
 oracle (reference qpnet.py:314-559, argmax mode):
 
-  A1. free-running argmax trajectory == the reference's, at tiny dims,
-      with a margin guard (the torch top-2 logit gap at every step must
-      dwarf the measured compiled-kernel logit deviation, so equality is
-      forced by numerics rather than lucky);
+  A1. compiled free-running argmax trajectory == the INTERPRET kernel's
+      (same bf16 math; lowering must not change a single decision);
   A2. compiled forced-mode per-step logits along the reference's own
-      trajectory vs the reference's hooked conv_post_2 outputs — the
-      deviation that the margin of A1 is checked against;
-  A3. compiled vs interpret forced-mode logits (same bf16 weight math,
-      Mosaic lowering vs simulation).
+      executed trajectory vs the reference's hooked conv_post_2 outputs:
+      the max deviation is recorded, and at every step where the torch
+      top-2 margin dwarfs it (>10x), the compiled argmax must equal the
+      reference's — a margin-guarded per-step pin against executed
+      reference code (teacher forcing keeps the context identical, so
+      the per-step claim is valid even where near-ties exist elsewhere);
+  A3. compiled vs interpret forced-mode logits must be BIT-EQUAL — the
+      Mosaic-lowering pin itself.
 
 The kernel's resident weights are bf16 by design (pack_weights), so an
-f32 compiled variant does not exist to lower; A1+A2's margin-guarded
-argmax equality plus A3's lowering check are the hardware pin.  Results
-are recorded in BENCH_NOTES.md and ONCHIP_r05.json.
+f32 compiled variant does not exist to lower, and free-running argmax
+equality against the f32 torch oracle is unattainable whenever a random
+tiny net produces per-step top-2 margins below bf16 resolution (measured
+2.07e-4 vs a 7.3e-3 bf16 logit deviation).  VERDICT r4 #2 sanctions
+exactly this fallback: compiled-vs-interpret bit-equivalence on chip
+(A3, measured 0.0) + the interpret kernel's existing oracle pins
+(tests/test_torch_oracle.py, test_forced_mode.py) close the chain, and
+A2 adds the direct margin-guarded per-step pin vs the executed torch
+code.  Results are recorded in BENCH_NOTES.md and ONCHIP_r05.json.
 
 Gate B (decode VMEM admission): the boundary configs of the deep-net
 cost model — the admitted bf16 B=8 config must actually run on the
@@ -122,38 +130,56 @@ def gate_a(results):
     margin = float(np.min(top2[..., -1] - top2[..., -2]))
 
     x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
-    # A1: COMPILED kernel, free-running argmax
+    # A1: compiled free-running argmax trajectory == interpret's (the
+    # lowering must not change a single free-running decision)
     t0 = time.time()
-    ours = batch_fast_generate(params, cfg, x0, h, [n] * B, d,
-                               mode="argmax", engine="pallas",
-                               interpret=False)
-    ours = np.stack(ours)
-    a1 = bool((ours == ref_traj).all())
-    results["A1_compiled_argmax_trajectory_equal"] = a1
+    ours = np.stack(batch_fast_generate(params, cfg, x0, h, [n] * B, d,
+                                        mode="argmax", engine="pallas",
+                                        interpret=False))
+    ours_i = np.stack(batch_fast_generate(params, cfg, x0, h, [n] * B, d,
+                                          mode="argmax", engine="pallas",
+                                          interpret=True))
+    a1 = bool((ours == ours_i).all())
+    results["A1_compiled_eq_interpret_trajectory"] = a1
     results["A1_steps"] = int(B * n)
-    print(f"A1 compiled-argmax == torch trajectory: {a1} "
-          f"({B}x{n} steps, {time.time()-t0:.1f}s incl. compile)")
+    results["A1_torch_agreement_frac"] = float((ours == ref_traj).mean())
+    print(f"A1 compiled free-run trajectory == interpret: {a1} "
+          f"({B}x{n} steps, {time.time()-t0:.1f}s incl. compile; "
+          f"agreement with the f32 torch free-run "
+          f"{results['A1_torch_agreement_frac']:.3f} — informational: "
+          f"free-running bf16 vs f32 diverges chaotically at near-ties)")
 
-    # A2: compiled forced-mode logits along the reference trajectory
+    # A2: compiled forced-mode logits along the reference trajectory;
+    # margin-guarded per-step argmax pin vs the executed torch code
     got = teacher_forced_logits(params, cfg, x0, h,
                                 ref_traj.astype(np.int32), d,
                                 engine="pallas", interpret=False)
     dev = float(np.max(np.abs(got - ref_logits)))
     results["A2_compiled_forced_logit_dev"] = dev
     results["A2_torch_min_top2_margin"] = margin
-    a2 = margin > 10 * dev
-    results["A2_margin_guard"] = a2
+    margins = top2[..., -1] - top2[..., -2]              # (B, n)
+    sure = margins > 10 * dev
+    agree = np.argmax(got, -1) == np.argmax(ref_logits, -1)
+    a2 = bool(agree[sure].all()) and int(sure.sum()) > 0
+    results["A2_guarded_steps"] = int(sure.sum())
+    results["A2_guarded_step_frac"] = float(sure.mean())
+    results["A2_guarded_argmax_match"] = a2
     print(f"A2 compiled forced-logit max dev vs torch: {dev:.3e}; "
-          f"torch min top-2 margin {margin:.3e}; guard(>10x): {a2}")
+          f"per-step argmax == torch at all {int(sure.sum())}/{sure.size} "
+          f"steps with top-2 margin >10x dev: {a2}")
 
-    # A3: compiled vs interpret forced logits (Mosaic lowering vs sim)
+    # A3: compiled vs interpret forced logits must be BIT-EQUAL (the
+    # Mosaic lowering pin; VERDICT r4 #2's sanctioned fallback)
     got_i = teacher_forced_logits(params, cfg, x0, h,
                                   ref_traj.astype(np.int32), d,
                                   engine="pallas", interpret=True)
     dev_ci = float(np.max(np.abs(got - got_i)))
+    a3 = dev_ci == 0.0
     results["A3_compiled_vs_interpret_dev"] = dev_ci
-    print(f"A3 compiled vs interpret forced-logit max dev: {dev_ci:.3e}")
-    ok = a1 and a2
+    results["A3_bit_equal"] = a3
+    print(f"A3 compiled vs interpret forced-logit max dev: {dev_ci:.3e} "
+          f"(bit-equal: {a3})")
+    ok = a1 and a2 and a3
     results["gate_a_ok"] = ok
     return ok
 
@@ -185,7 +211,28 @@ def gate_b(results):
         print(f"B boundary bf16 B=8 deep-net compiled run: {ran} "
               f"({time.time()-t0:.1f}s incl. compile)")
     results["B_boundary_ran"] = bool(ran)
-    ok = (not crash_admitted) and ok_admitted and ran
+    # the previously-crashing CLI config itself (bf16 deep net, batch 16)
+    # must now COMPLETE through the auto engine: admission rejects the
+    # fused B=16 program and batch_fast_generate splits into the
+    # measured-safe B=8 slices instead
+    ran16 = False
+    if ran:
+        from qpnet_tpu.models.qpnet import init_params
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(1)
+        B, F, up = 16, 6, cfg.upsampling_factor
+        n = F * up - 1
+        h = rng.normal(size=(B, F, cfg.n_aux)).astype(np.float32) * 0.1
+        d = np.full((B, n), 2.0, np.float32)
+        x0 = np.full((B, 1), cfg.n_quantize // 2, np.int32)
+        t0 = time.time()
+        out = batch_fast_generate(params, cfg, x0, h, [n] * B, d,
+                                  mode="argmax", interpret=False)
+        ran16 = len(out) == B and all(o.shape == (n,) for o in out)
+        print(f"B crash-config bf16 B=16 now completes via B=8 slices: "
+              f"{ran16} ({time.time()-t0:.1f}s)")
+    results["B_crash_config_completes_via_slices"] = bool(ran16)
+    ok = (not crash_admitted) and ok_admitted and ran and ran16
     results["gate_b_ok"] = ok
     print(f"B crash-config (bf16 B=16) admitted: {crash_admitted} "
           f"(must be False); boundary admitted+ran: {ok_admitted}/{ran}")
