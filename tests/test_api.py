@@ -242,6 +242,16 @@ def test_analyze_integer_pcm_and_empty_input():
     q32 = (q.astype(np.int64) << 16).astype(np.int32)
     f32c = voc.analyze(q32, dsp_backend="numpy")
     np.testing.assert_allclose(f32c, fi, atol=1e-4)
+    # unsigned PCM is offset-binary (uint8 silence = 128): the midpoint
+    # bias must come off before rescaling — analyze(uint8) must equal
+    # analyze of the exact int16 equivalent (u - 128) * 256, not see a
+    # huge DC offset (ADVICE r4: api.py unsigned-PCM fix)
+    u8 = np.round(0.3 * np.sin(2 * np.pi * 150 * t) * 127.0 + 128.0
+                  ).astype(np.uint8)
+    i16_equiv = ((u8.astype(np.int32) - 128) * 256).astype(np.int16)
+    fu8 = voc.analyze(u8, dsp_backend="numpy")
+    fi16 = voc.analyze(i16_equiv, dsp_backend="numpy")
+    np.testing.assert_allclose(fu8, fi16, atol=1e-6)
     with pytest.raises(ValueError, match="empty waveform"):
         voc.analyze(np.zeros(0, np.float32))
 

@@ -163,13 +163,14 @@ def test_gumbel_max_matches_categorical_fast():
 
     n = 200_000
     t = np.arange(n, dtype=np.uint64)
-    base = ((np.uint32(3) * np.uint32(0x85EBCA6B))
-            ^ (t.astype(np.uint32) * np.uint32(2654435761)))
-    idx = np.arange(Q, dtype=np.uint32)
-    v = base[:, None] + idx[None, :] * np.uint32(0x9E3779B9)
-    v = v ^ (v >> np.uint32(16)); v = v * np.uint32(0x7FEB352D)
-    v = v ^ (v >> np.uint32(15)); v = v * np.uint32(0x846CA68B)
-    v = v ^ (v >> np.uint32(16))
+    with np.errstate(over="ignore"):     # uint32 wraparound is the hash
+        base = ((np.uint32(3) * np.uint32(0x85EBCA6B))
+                ^ (t.astype(np.uint32) * np.uint32(2654435761)))
+        idx = np.arange(Q, dtype=np.uint32)
+        v = base[:, None] + idx[None, :] * np.uint32(0x9E3779B9)
+        v = v ^ (v >> np.uint32(16)); v = v * np.uint32(0x7FEB352D)
+        v = v ^ (v >> np.uint32(15)); v = v * np.uint32(0x846CA68B)
+        v = v ^ (v >> np.uint32(16))
     unif = (v >> np.uint32(8)).astype(np.float32) / (1 << 24) + 1e-12
     gumbel = -np.log(-np.log(unif))
     draws_kernel = np.argmax(logits[None, :] + gumbel, axis=-1)

@@ -19,9 +19,11 @@ usage: python tools/serve_soak.py [--minutes 10] [--streams 64]
 """
 
 import argparse
+import faulthandler
 import json
 import os
 import resource
+import signal
 import sys
 import threading
 import time
@@ -29,6 +31,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# kill -USR1 <pid> dumps all thread stacks — the first diagnosis step
+# when the run sits silent (this image's TPU tunnel occasionally hangs a
+# worker at backend init or on a long remote compile)
+faulthandler.register(signal.SIGUSR1)
 
 
 def count_fds() -> int:
@@ -82,8 +89,12 @@ def run_soak(minutes: float, streams: int, seconds: float,
         fs = 1000
     else:
         cfg = ModelConfig.from_network_name(network)
+    if verbose:
+        print(f"# init: platform probe (pid {os.getpid()})", flush=True)
     params = init_params(jax.random.PRNGKey(0), cfg)
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    if verbose:
+        print(f"# init: devices={jax.devices()}", flush=True)
 
     svc = StreamingService(params, cfg, max_streams=min(streams, 64),
                            maxd=32, gather_window_s=gather_window_s,
