@@ -675,11 +675,18 @@ def choose_pallas_sub_batch(cfg: ModelConfig, B: int, maxd: int,
     the TPU worker; B=8 slices also measure faster — BENCH_NOTES.md)."""
     if _fused_batch_ok(cfg, B, maxd, quantize):
         return B
-    largest_fit = 0
-    for sub in range((B - 1) // 8 * 8, 0, -8):
-        if _fused_batch_ok(cfg, sub, maxd, quantize):
-            largest_fit = sub
-            break
+    # admission is monotone-decreasing in B (VMEM cost rises with B; the
+    # streamed-bf16 fused ceiling is a fixed B cap), so bisect for the
+    # largest admitted multiple of 8 instead of scanning down from B —
+    # callers pass whole-corpus batches here (--batch_size 0 decodes)
+    lo, hi = 0, (B - 1) // 8          # in units of 8; 0 = none fits
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _fused_batch_ok(cfg, 8 * mid, maxd, quantize):
+            lo = mid
+        else:
+            hi = mid - 1
+    largest_fit = 8 * lo
     if not largest_fit:
         # no multiple of 8 fits (or B <= 8): largest size that does
         for sub in range(min(7, B - 1), 0, -1):

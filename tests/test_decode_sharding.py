@@ -2,6 +2,7 @@
 must reproduce the single-device generation exactly."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,6 +63,7 @@ def test_sharded_pallas_decode_matches_single_chip():
     np.testing.assert_array_equal(np.stack(single), np.stack(sharded))
 
 
+@pytest.mark.slow
 def test_sharded_pallas_per_chip_split_matches_single_chip(monkeypatch):
     """A per-chip batch above the throughput-optimal kernel size splits
     into balanced sub-batches INSIDE the shard_map (sequentially per chip)
@@ -105,6 +107,7 @@ def test_sharded_pallas_per_chip_split_matches_single_chip(monkeypatch):
     np.testing.assert_array_equal(np.stack(single), np.stack(sharded))
 
 
+@pytest.mark.slow
 def test_sharded_pallas_pads_ragged_batch():
     """B not divisible by the mesh size: the batch pads internally and the
     padding rows are dropped from the result."""
@@ -157,6 +160,7 @@ def test_sharded_decode_pads_odd_batch():
     np.testing.assert_array_equal(np.stack(single), np.stack(sharded))
 
 
+@pytest.mark.slow
 def test_sharded_streaming_pads_local_batch_to_sublane(monkeypatch):
     """Ring-streaming-active mesh decode must pad so the PER-CHIP batch is
     8-aligned (Mosaic HBM<->VMEM window DMAs), not just a multiple of the

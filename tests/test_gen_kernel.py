@@ -393,6 +393,7 @@ def test_streaming_pads_batch_to_sublane_multiple(monkeypatch):
     np.testing.assert_array_equal(np.stack(resident), np.stack(streamed))
 
 
+@pytest.mark.slow
 def test_env_forced_streaming_still_pads_batch(monkeypatch):
     """QPNET_STREAM_MIN_DIL forces a streaming level inside pallas_generate;
     the caller-side batch padding must see the SAME resolved level (shared
