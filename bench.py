@@ -18,6 +18,10 @@ so the target is the only quantitative baseline.
 
 import argparse
 import json
+import os
+import signal
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -135,7 +139,70 @@ def serve_bench(args, cfg, params):
     }))
 
 
+def supervised_main():
+    """Run the measurement in a killable child process with a deadline.
+
+    This image's TPU tunnel occasionally wedges a client at backend init
+    or on a remote compile — an in-process hang that no try/except can
+    catch and that leaves the driver's bench run stuck.  The supervisor
+    re-execs this script as a worker in its own process GROUP (a plain
+    kill would orphan the hung python, and an orphaned client keeps the
+    tunnel wedged for every later one), kills the group on deadline, and
+    retries after a quiet backoff — measured wedges recover after a
+    fully-quiet window.  QPNET_BENCH_NO_WATCHDOG=1 runs in-process;
+    QPNET_BENCH_DEADLINE_S tunes the per-attempt deadline."""
+    deadline = float(os.environ.get("QPNET_BENCH_DEADLINE_S", "1500"))
+    live: list = []
+
+    def _forward(signum, frame):
+        # the worker runs in its own session: killing only this
+        # supervisor would orphan a possibly-hung client, which keeps
+        # the tunnel wedged for every later process — take the whole
+        # group down with us
+        for p in live:
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+        sys.exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _forward)
+    signal.signal(signal.SIGINT, _forward)
+    for attempt in range(3):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             *sys.argv[1:], "--_worker"],
+            start_new_session=True)
+        live[:] = [proc]
+        try:
+            rc = proc.wait(timeout=deadline)
+            if rc == 0:
+                return
+            print(f"# bench attempt {attempt + 1} exited rc={rc}",
+                  file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"# bench attempt {attempt + 1} hit the {deadline:.0f}s "
+                  "deadline (tunnel wedge?); killing the worker group",
+                  file=sys.stderr, flush=True)
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+        if attempt < 2:
+            quiet = float(os.environ.get(
+                "QPNET_BENCH_BACKOFF_S", "60" if attempt == 0 else "480"))
+            print(f"# quiet backoff {quiet:.0f}s before retry",
+                  file=sys.stderr, flush=True)
+            time.sleep(quiet)
+    sys.exit(1)
+
+
 def main():
+    if "--_worker" in sys.argv:
+        sys.argv.remove("--_worker")
+    elif not os.environ.get("QPNET_BENCH_NO_WATCHDOG"):
+        return supervised_main()
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128,
                     help="decode batch (128 = throughput-optimal on v5e, "
