@@ -20,8 +20,11 @@ sys.path.insert(0, os.path.join(
 def test_serve_soak_short():
     from serve_soak import run_soak
 
+    import json
+
     out = run_soak(minutes=0.75, streams=6, seconds=1.0, tiny=True,
                    sample_every_s=2.0, verbose=False)
+    json.dumps(out)   # the report must be JSON-clean (no numpy scalars)
     assert not out["errors"], out["errors"]
     assert out["completions"] > 0
     assert out["fd_growth"] <= 4, out

@@ -196,10 +196,12 @@ def run_soak(minutes: float, streams: int, seconds: float,
         "chunk_latency_ms_p99": round(float(np.percentile(lat, 99)) * 1e3,
                                       1),
         "chunk_latency_drift": round(lat_drift, 3),
-        "ok": (not errors and completions[0] > 0
-               and fd_growth <= 4
-               and rss_growth < 64.0
-               and lat_drift < 1.5),
+        # bool(): rss_growth is a numpy scalar and np.bool_ is not JSON
+        # serializable — the chip run died at json.dumps without this
+        "ok": bool(not errors and completions[0] > 0
+                   and fd_growth <= 4
+                   and rss_growth < 64.0
+                   and lat_drift < 1.5),
     }
     return out
 
