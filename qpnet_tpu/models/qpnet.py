@@ -41,6 +41,7 @@ teacher-forced forward == autoregressive generation exactly.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -62,7 +63,13 @@ def _xavier(key, shape, fan_in, fan_out, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
 def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Params:
+    # jitted as ONE program (cfg is frozen/hashable): eagerly this is ~100
+    # tiny dispatches plus a host fetch of the split keys — through this
+    # image's tunneled TPU that is seconds of RTT when healthy and the first
+    # thing to hang when the remote compile service wedges.  One cached
+    # executable makes a fresh process's init a disk-cache hit instead.
     Q, A, R, S = cfg.n_quantize, cfg.n_aux, cfg.n_resch, cfg.n_skipch
     k = cfg.kernel_size
     assert k == 2, "kernel_size=2 is the only supported (and reference) value"

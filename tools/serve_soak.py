@@ -105,6 +105,23 @@ def run_soak(minutes: float, streams: int, seconds: float,
     srv = serve_tcp(svc, port=0)
     addr = srv.server_address
 
+    # Compile the serving session for the full-load bucket BEFORE clients
+    # start: the soak measures sustained serving, not kernel compile, and
+    # an un-prewarmed first group pays the whole compile inside
+    # _run_group where the progress output shows nothing but flat
+    # zero-completion samples (through this image's TPU tunnel that can
+    # be many minutes — indistinguishable from a hang without this).
+    if verbose:
+        print(f"# init: prewarming session bucket for {streams} streams "
+              "(compile; warm via on-disk cache)", flush=True)
+    t_pw = time.time()
+    # full-load bucket + the half-load one (partial gather windows route
+    # there); smaller buckets only appear during shutdown drain
+    svc.prewarm([streams] + ([streams // 2] if streams > 1 else []))
+    prewarm_s = round(time.time() - t_pw, 1)
+    if verbose:
+        print(f"# init: prewarm done in {prewarm_s}s", flush=True)
+
     rng = np.random.default_rng(0)
     F = max(2, int(seconds * fs) // cfg.upsampling_factor)
     h = rng.normal(size=(F, cfg.n_aux)).astype(np.float32)
@@ -183,6 +200,7 @@ def run_soak(minutes: float, streams: int, seconds: float,
     out = {
         "minutes": minutes, "streams": streams,
         "utterance_s": n_expect / fs,
+        "prewarm_s": prewarm_s,
         "completions": completions[0],
         "errors": errors[:5],
         "rss_mib_first_third": round(float(np.median(
